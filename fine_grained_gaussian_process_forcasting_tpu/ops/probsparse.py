@@ -1,0 +1,65 @@
+"""ProbSparse attention (Informer).
+
+Re-design of ``forecasting_models/Informer.py:7-93``: sample
+``ceil(ln(L_k))`` keys per query, rank queries by the sparsity measure
+``M = max - mean``, let the top ``ceil(ln(L_q))`` queries attend fully and
+give the rest the mean-of-values context.  Sample counts are Python ints at
+trace time, so shapes stay static; the context update is a functional
+scatter (``.at[].set``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def prob_sparse_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rng: jax.Array,
+    factor: int = 1,
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """ProbSparse attention over (b, h, l, d) operands (mask-free variant,
+    matching the dispatcher's ``ProbAttention(mask_flag=False)`` usage at
+    ``modules/multi_head_attention.py:85``)."""
+    B, H, L_Q, D = q.shape
+    L_K = k.shape[2]
+
+    u_part = min(int(factor * math.ceil(math.log(L_K))), L_K)
+    u = min(int(factor * math.ceil(math.log(L_Q))), L_Q)
+
+    # Sampled scores for the sparsity measure (``Informer.py:21-36``).
+    index_sample = jax.random.randint(rng, (L_Q, u_part), 0, L_K)
+    k_sample = k[:, :, index_sample, :]  # (B, H, L_Q, u_part, D)
+    qk_sample = jnp.einsum(
+        "bhqd,bhqkd->bhqk", q, k_sample, preferred_element_type=jnp.float32
+    )
+    m = jnp.max(qk_sample, axis=-1) - jnp.sum(qk_sample, axis=-1) / L_K
+    _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
+
+    q_reduce = jnp.take_along_axis(q, m_top[..., None], axis=2)  # (B,H,u,D)
+    scores = jnp.einsum(
+        "bhud,bhkd->bhuk", q_reduce, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * (scale or 1.0 / math.sqrt(D))
+
+    # Initial context: mean of V for every query (``Informer.py:47-56``).
+    v_mean = jnp.mean(v, axis=-2, keepdims=True)  # (B, H, 1, D)
+    context = jnp.broadcast_to(v_mean, (B, H, L_Q, D)).astype(v.dtype)
+
+    attn = jax.nn.softmax(scores, axis=-1)
+    top_ctx = jnp.einsum(
+        "bhuk,bhkd->bhud", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+    bi = jnp.arange(B)[:, None, None]
+    hi = jnp.arange(H)[None, :, None]
+    context = context.at[bi, hi, m_top].set(top_ctx)
+    return context, None

@@ -1,0 +1,35 @@
+"""Noam learning-rate schedule + Adam, as one optax chain.
+
+Equivalent of the reference's ``NoamOpt`` wrapper
+(``modules/opt_model.py:1-31`` with the instantiation
+``NoamOpt(Adam(lr=0, betas=(0.9, 0.98), eps=1e-9), 2, d_model, w_steps)``
+at ``train.py:147``): lr(n) = lr_mul * d_model^-0.5 * min(n^-0.5,
+n * warmup^-1.5), stepped before each update so n starts at 1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def noam_schedule(d_model: int, warmup_steps: int, lr_mul: float = 2.0):
+    def schedule(count):
+        n = count + 1.0  # reference increments before computing (:37)
+        scale = d_model ** -0.5 * jnp.minimum(
+            n ** -0.5, n * warmup_steps ** -1.5
+        )
+        return lr_mul * scale
+
+    return schedule
+
+
+def noam_adam(
+    d_model: int, warmup_steps: int = 4000, lr_mul: float = 2.0
+) -> optax.GradientTransformation:
+    return optax.adam(
+        learning_rate=noam_schedule(d_model, warmup_steps, lr_mul),
+        b1=0.9,
+        b2=0.98,
+        eps=1e-9,
+    )

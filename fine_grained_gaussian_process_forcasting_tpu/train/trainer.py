@@ -1,0 +1,137 @@
+"""Jitted training loop: one XLA computation per epoch.
+
+Re-design of the reference's per-batch Python loop
+(``train.py:152-195``): the whole dataset lives on device and a
+``lax.scan`` over batches runs inside one jit, so an epoch is a single
+dispatch.  Data parallelism comes from sharding the batch dim over the
+mesh's 'data' axis; tensor parallelism from ``parallel.sharding`` rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fine_grained_gaussian_process_forcasting_tpu.data.window import BatchedSplit
+from fine_grained_gaussian_process_forcasting_tpu.train.schedule import noam_adam
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: int = 0
+
+
+class Trainer:
+    """Wraps a ForecastDenoising-like Flax model with jitted epoch-level
+    train/eval functions.
+
+    model.apply must accept (variables, enc, dec, y, training, rngs) and
+    return an object with .loss/.mse/.predictions.
+    """
+
+    def __init__(
+        self,
+        model,
+        d_model: int,
+        warmup_steps: int = 4000,
+        lr_mul: float = 2.0,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.optimizer = noam_adam(d_model, warmup_steps, lr_mul)
+        self.mesh = mesh
+        self._build()
+
+    # ------------------------------------------------------------------ #
+
+    def _build(self):
+        model, optimizer = self.model, self.optimizer
+
+        def loss_fn(params, rngs, enc, dec, y):
+            out = model.apply(
+                {"params": params}, enc, dec, y, training=True, rngs=rngs
+            )
+            return out.loss, out.mse
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(carry, batch):
+            params, opt_state, rng = carry
+            rng, r1, r2 = jax.random.split(rng, 3)
+            enc, dec, y = batch
+            (loss, mse), grads = grad_fn(
+                params, {"noise": r1, "sampling": r2}, enc, dec, y
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, mse)
+
+        def train_epoch(params, opt_state, rng, enc, dec, y):
+            (params, opt_state, rng), (losses, mses) = jax.lax.scan(
+                train_step, (params, opt_state, rng), (enc, dec, y)
+            )
+            return params, opt_state, rng, jnp.sum(losses), jnp.sum(mses)
+
+        def eval_epoch(params, enc, dec, y):
+            def step(_, batch):
+                enc_b, dec_b, y_b = batch
+                out = model.apply(
+                    {"params": params}, enc_b, dec_b, y_b, training=False
+                )
+                return None, (out.loss, out.mse, out.predictions)
+
+            _, (losses, mses, preds) = jax.lax.scan(step, None, (enc, dec, y))
+            return jnp.sum(losses), jnp.sum(mses), preds
+
+        donate = (0, 1)
+        self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
+        self._eval_epoch = jax.jit(eval_epoch)
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, rng: jax.Array, enc: np.ndarray, dec: np.ndarray,
+                   y: np.ndarray) -> TrainState:
+        rng, init_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": init_rng, "noise": rng, "sampling": rng},
+            jnp.asarray(enc[:2]),
+            jnp.asarray(dec[:2]),
+            jnp.asarray(y[:2]),
+            training=True,
+        )
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state, rng=rng)
+
+    def device_put_split(self, split: BatchedSplit):
+        """Move a batched split to device, batch dim sharded over 'data'."""
+        arrs = (split.enc, split.dec, split.y)
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrs)
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        return tuple(jax.device_put(a, sharding) for a in arrs)
+
+    def train_epoch(self, state: TrainState, data) -> Tuple[TrainState, float, float]:
+        enc, dec, y = data
+        params, opt_state, rng, loss, mse = self._train_epoch(
+            state.params, state.opt_state, state.rng, enc, dec, y
+        )
+        return (
+            TrainState(params, opt_state, rng, state.step + enc.shape[0]),
+            float(loss),
+            float(mse),
+        )
+
+    def eval_epoch(self, state: TrainState, data):
+        enc, dec, y = data
+        loss, mse, preds = self._eval_epoch(state.params, enc, dec, y)
+        return float(loss), float(mse), preds

@@ -1,22 +1,20 @@
 """Test harness config: run everything on an 8-device virtual CPU mesh.
 
-Must set env vars before jax is imported anywhere (SURVEY.md section 4's
-multi-device testing substitute).
+The environment preloads jax at interpreter start (so JAX_PLATFORMS from
+the env is already captured); ``jax.config.update`` is the reliable way to
+force the CPU platform, and XLA_FLAGS is still read lazily at backend init.
 """
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

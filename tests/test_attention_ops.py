@@ -1,0 +1,134 @@
+"""Numerical tests for the attention/correlation op zoo (SURVEY.md s4)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
+    scaled_dot_attention,
+)
+from fine_grained_gaussian_process_forcasting_tpu.ops.autocorrelation import (
+    auto_correlation,
+)
+from fine_grained_gaussian_process_forcasting_tpu.ops.conv_attention import (
+    ACATAttention,
+    ATAAttention,
+    ConvAttnAttention,
+)
+from fine_grained_gaussian_process_forcasting_tpu.ops.fourier import (
+    FourierBlock,
+    FourierCrossAttention,
+    get_frequency_modes,
+)
+from fine_grained_gaussian_process_forcasting_tpu.ops.probsparse import (
+    prob_sparse_attention,
+)
+
+B, H, L, D = 2, 4, 32, 8
+
+
+def _qkv(seed=0, l_k=None):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, l_k or L, D))
+    v = jax.random.normal(k3, (B, H, l_k or L, D))
+    return q, k, v
+
+
+def test_basic_attention_matches_naive():
+    q, k, v = _qkv()
+    ctx, attn = scaled_dot_attention(q, k, v)
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    a = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", a, v)
+    np.testing.assert_allclose(np.asarray(ctx), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_autocorrelation_identity_series():
+    """A pure periodic signal should aggregate along its own period."""
+    t = jnp.arange(L)
+    sig = jnp.sin(2 * jnp.pi * t / 8)
+    q = jnp.broadcast_to(sig, (B, H, D, L)).transpose(0, 1, 3, 2)
+    ctx, corr = auto_correlation(q, q, q, training=True)
+    assert ctx.shape == (B, H, L, D)
+    assert np.all(np.isfinite(np.asarray(ctx)))
+    # the autocorrelation of the periodic series must peak at delay 0 / 8 / 16
+    mean_corr = np.asarray(corr).mean(axis=(0, 1, 2))
+    top = set(np.argsort(mean_corr)[-3:].tolist())
+    assert top & {0, 8, 16, 24}
+
+
+def test_autocorrelation_inference_mode():
+    q, k, v = _qkv(1)
+    ctx, _ = auto_correlation(q, k, v, training=False)
+    assert ctx.shape == (B, H, L, D)
+    assert np.all(np.isfinite(np.asarray(ctx)))
+
+
+def test_autocorrelation_cross_lengths():
+    """L_q < L_k truncates keys/values (reference Autoformer.py:107-113)."""
+    q, k, v = _qkv(2, l_k=L * 2)
+    ctx, _ = auto_correlation(q, k, v, training=True)
+    assert ctx.shape == (B, H, L, D)
+
+
+def test_probsparse_shapes_and_mean_fallback():
+    q, k, v = _qkv(3)
+    ctx, _ = prob_sparse_attention(q, k, v, jax.random.PRNGKey(0))
+    assert ctx.shape == (B, H, L, D)
+    # u = ceil(ln(32)) = 4 queries updated; the rest = mean of V
+    v_mean = np.asarray(v.mean(axis=-2))
+    ctx_np = np.asarray(ctx)
+    matches_mean = np.isclose(
+        ctx_np, v_mean[:, :, None, :], atol=1e-5
+    ).all(-1).sum(-1)
+    assert np.all(matches_mean >= L - 4)
+
+
+@pytest.mark.parametrize("cls", [ATAAttention, ACATAttention, ConvAttnAttention])
+def test_conv_attention_ops(cls):
+    q, k, v = _qkv(4)
+    mod = cls(d_k=D, n_heads=H)
+    variables = mod.init(jax.random.PRNGKey(0), q, k, v)
+    ctx, attn = mod.apply(variables, q, k, v)
+    assert ctx.shape == (B, H, L, D)
+    assert np.all(np.isfinite(np.asarray(ctx)))
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_fourier_block_roundtrip_energy():
+    mod = FourierBlock(
+        in_channels=H * D, out_channels=H * D, seq_len=L, modes=8, n_heads=H
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, L, H, D))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out, _ = mod.apply(variables, x)
+    assert out.shape == (B, L, H, D)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fourier_cross_attention():
+    mod = FourierCrossAttention(
+        in_channels=H * D, out_channels=H * D, seq_len_q=L, seq_len_kv=L,
+        modes=8, n_heads=H,
+    )
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, L, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(7), (B, L, H, D))
+    variables = mod.init(jax.random.PRNGKey(0), q, k)
+    out, _ = mod.apply(variables, q, k)
+    assert out.shape == (B, L, H, D)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_frequency_mode_selection():
+    idx = get_frequency_modes(96, modes=8, mode_select_method="random", seed=0)
+    assert len(idx) == 8
+    assert idx == sorted(idx)
+    assert all(0 <= i < 48 for i in idx)
+    low = get_frequency_modes(96, modes=8, mode_select_method="lowest")
+    assert low == list(range(8))

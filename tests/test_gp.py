@@ -1,0 +1,149 @@
+"""GP stack validation against closed-form small-n math (SURVEY.md s7 step 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fine_grained_gaussian_process_forcasting_tpu.gp import (
+    DeepGP,
+    exact_gp_mll,
+    exact_gp_posterior,
+    init_exact_gp,
+    rbf_ard,
+    sq_dist,
+)
+from fine_grained_gaussian_process_forcasting_tpu.gp.deep_gp import (
+    GPPosterior,
+    gaussian_expected_log_prob,
+    variational_elbo,
+)
+
+
+def test_sq_dist_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 3)).astype(np.float32)
+    z = rng.normal(size=(7, 3)).astype(np.float32)
+    naive = ((x[:, None, :] - z[None, :, :]) ** 2).sum(-1)
+    got = np.asarray(sq_dist(jnp.asarray(x), jnp.asarray(z)))
+    np.testing.assert_allclose(got, naive, rtol=1e-4, atol=1e-5)
+
+
+def test_rbf_kernel_properties():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    ls = jnp.asarray([0.5, 1.0, 2.0, 0.7])
+    os_ = jnp.asarray(1.3)
+    k = rbf_ard(x, x, ls, os_)
+    np.testing.assert_allclose(np.diag(np.asarray(k)), 1.3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k).T, rtol=1e-5)
+    assert np.all(np.linalg.eigvalsh(np.asarray(k)) > -1e-5)
+
+
+def _naive_whitened_posterior(x, z, ls, os_, m, s, mean_w, mean_b):
+    """Dense-matrix reference for the whitened variational marginals."""
+    kzz = np.asarray(rbf_ard(jnp.asarray(z), jnp.asarray(z), ls, os_))
+    kzz = kzz + 1e-4 * np.eye(len(z))
+    L = np.linalg.cholesky(kzz)
+    kzx = np.asarray(rbf_ard(jnp.asarray(z), jnp.asarray(x), ls, os_))  # (M, N)
+    A = np.linalg.solve(L, kzx)  # (M, N)
+    mean = x @ np.asarray(mean_w) + mean_b + A.T @ m
+    var = float(os_) - (A**2).sum(0) + ((s[:, None] * A) ** 2).sum(0)
+    return mean, var
+
+
+def test_deep_gp_matches_naive_whitened_math():
+    d, M, N = 3, 16, 11
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(N, d)).astype(np.float32)
+
+    gp = DeepGP(input_dims=d, num_inducing=M)
+    variables = gp.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = variables["params"]
+    # randomize the variational params so the test is non-trivial
+    params = dict(params)
+    params["variational_mean"] = jnp.asarray(
+        rng.normal(size=(M,)).astype(np.float32)
+    )
+    params["variational_log_stddev"] = jnp.asarray(
+        rng.normal(size=(M,), scale=0.3).astype(np.float32)
+    )
+
+    post = gp.apply({"params": params}, jnp.asarray(x))
+
+    ls = jax.nn.softplus(params["raw_lengthscale"])
+    os_ = jax.nn.softplus(params["raw_outputscale"])
+    mean_ref, var_ref = _naive_whitened_posterior(
+        x,
+        np.asarray(params["inducing_points"]),
+        ls,
+        os_,
+        np.asarray(params["variational_mean"]),
+        np.exp(np.asarray(params["variational_log_stddev"])),
+        params["mean_weight"],
+        float(params["mean_bias"]),
+    )
+    np.testing.assert_allclose(np.asarray(post.mean), mean_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(post.var), var_ref, rtol=1e-3, atol=1e-4)
+
+    # KL of N(m, diag(s^2)) vs N(0, I)
+    m = np.asarray(params["variational_mean"])
+    log_s = np.asarray(params["variational_log_stddev"])
+    kl_ref = 0.5 * np.sum(np.exp(2 * log_s) + m**2 - 1 - 2 * log_s)
+    np.testing.assert_allclose(float(post.kl), kl_ref, rtol=1e-4)
+
+
+def test_deep_gp_batched_inputs():
+    gp = DeepGP(input_dims=4, num_inducing=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 9, 4))
+    variables = gp.init(jax.random.PRNGKey(0), x)
+    post = gp.apply(variables, x)
+    assert post.mean.shape == (5, 9)
+    assert post.var.shape == (5, 9)
+    assert np.all(np.asarray(post.var) > 0)
+
+
+def test_expected_log_prob_matches_monte_carlo():
+    rng = np.random.default_rng(3)
+    mean = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    var = jnp.asarray(rng.uniform(0.1, 1.0, size=(4,)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    noise = jnp.asarray(0.5)
+    post = GPPosterior(mean=mean, var=var, kl=jnp.zeros(()), noise=noise)
+    got = np.asarray(gaussian_expected_log_prob(y, post))
+
+    # Monte Carlo over f ~ N(mean, var)
+    f = rng.normal(size=(200000, 4)) * np.sqrt(np.asarray(var)) + np.asarray(mean)
+    logp = -0.5 * ((np.asarray(y) - f) ** 2 / 0.5 + np.log(2 * np.pi * 0.5))
+    np.testing.assert_allclose(got, logp.mean(0), rtol=5e-3, atol=5e-3)
+
+
+def test_variational_elbo_scaling():
+    post = GPPosterior(
+        mean=jnp.zeros((2, 8)),
+        var=jnp.ones((2, 8)) * 0.1,
+        kl=jnp.asarray(3.0),
+        noise=jnp.asarray(1.0),
+    )
+    y = jnp.zeros((2, 8))
+    e16 = float(variational_elbo(y, post, num_data=16))
+    e32 = float(variational_elbo(y, post, num_data=32))
+    # larger num_data => smaller KL penalty => larger ELBO
+    assert e32 > e16
+    ell = -0.5 * (0.1 / 1.0 + np.log(2 * np.pi))
+    np.testing.assert_allclose(e16, ell - 3.0 / 16, rtol=1e-5)
+
+
+def test_exact_gp_recovers_function():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(np.linspace(-2, 2, 40).reshape(-1, 1).astype(np.float32))
+    y = jnp.sin(2 * x[:, 0]) + 0.01 * jnp.asarray(
+        rng.normal(size=(40,)).astype(np.float32)
+    )
+    params = init_exact_gp(1)
+    mean, var = exact_gp_posterior(params, x, y, x)
+    # posterior should interpolate training data far better than the prior
+    assert float(jnp.mean((mean - y) ** 2)) < 0.2
+    assert np.all(np.asarray(var) >= 0)
+    mll = float(exact_gp_mll(params, x, y))
+    assert np.isfinite(mll)
