@@ -1,0 +1,261 @@
+"""Benchmark: flagship (AutoDG) train-step throughput, TPU vs PyTorch-CPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Config matches the reference's headline run (solar, batch 256, enc 192,
+dec/pred 96, d_model 32, 8 heads, 1 layer, 256 inducing points — the
+AutoDG row of BASELINE.md).  ``vs_baseline`` is the speedup over an
+equivalent PyTorch implementation of the same model executed on CPU (the
+reference is pure PyTorch with CPU fallback, ``train.py:40``); the torch
+number is cached in .bench_torch_baseline.json because it is slow to
+measure and hardware-stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+B, ENC_LEN, DEC_LEN, PRED, F = 256, 192, 96, 96, 4
+D_MODEL, HEADS, LAYERS, INDUCING = 32, 8, 1, 256
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_torch_baseline.json")
+
+
+def bench_jax(steps: int = 30) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
+        ForecastDenoising,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.train.schedule import noam_adam
+
+    model = ForecastDenoising(
+        src_input_size=F, tgt_input_size=F, d_model=D_MODEL, n_heads=HEADS,
+        d_k=D_MODEL // HEADS, stack_size=LAYERS, pred_len=PRED,
+        attn_type="autoformer", gp=True, denoise=True, num_inducing=INDUCING,
+    )
+    rng = jax.random.PRNGKey(0)
+    enc = jax.random.normal(rng, (B, ENC_LEN, F))
+    dec = jax.random.normal(rng, (B, DEC_LEN, F))
+    y = jax.random.normal(rng, (B, PRED, 1))
+
+    @jax.jit
+    def _init(r, e, d, t):
+        return model.init({"params": r, "noise": r, "sampling": r},
+                          e, d, t, training=True)
+
+    params = _init(rng, enc, dec, y)["params"]
+    optimizer = noam_adam(D_MODEL, 4000)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, r, enc_b, dec_b, y_b):
+        out = model.apply({"params": p}, enc_b, dec_b, y_b, training=True,
+                          rngs={"noise": r, "sampling": r})
+        return out.loss
+
+    @jax.jit
+    def train_step(p, s, r, enc_b, dec_b, y_b):
+        r, sub = jax.random.split(r)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub, enc_b, dec_b, y_b)
+        updates, s = optimizer.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, r, loss
+
+    # warmup/compile
+    params, opt_state, rng, loss = train_step(params, opt_state, rng, enc, dec, y)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, rng, loss = train_step(params, opt_state, rng,
+                                                  enc, dec, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    assert float(loss) == float(loss), "nan loss in bench"
+    return steps / dt
+
+
+def bench_torch(steps: int = 2) -> float:
+    """Equivalent model in PyTorch, run on CPU.  Written from the same math
+    as the JAX build (not copied from the reference)."""
+    import math
+
+    import torch
+    import torch.nn as torch_nn
+
+    torch.manual_seed(0)
+
+    class AutoCorr(torch_nn.Module):
+        def forward(self, q, k, v):  # (b,h,l,d)
+            b, h, L, d = q.shape
+            qt = q.transpose(-1, -2)
+            kt = k.transpose(-1, -2)
+            vt = v.transpose(-1, -2)
+            corr = torch.fft.irfft(
+                torch.fft.rfft(qt, dim=-1) * torch.conj(torch.fft.rfft(kt, dim=-1)),
+                n=L, dim=-1)
+            top_k = int(math.log(L))
+            mean_value = corr.mean(dim=(1, 2))  # (b, L)
+            index = torch.topk(mean_value.mean(0), top_k).indices
+            weights = mean_value[:, index]
+            tmp_corr = torch.softmax(weights, dim=-1)
+            agg = torch.zeros_like(vt)
+            for i in range(top_k):
+                agg = agg + torch.roll(vt, -int(index[i]), -1) * \
+                    tmp_corr[:, i][:, None, None, None]
+            return agg.transpose(-1, -2)
+
+    class MHA(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            dk = D_MODEL // HEADS
+            self.wq = torch_nn.Linear(D_MODEL, D_MODEL, bias=False)
+            self.wk = torch_nn.Linear(D_MODEL, D_MODEL, bias=False)
+            self.wv = torch_nn.Linear(D_MODEL, D_MODEL, bias=False)
+            self.fc = torch_nn.Linear(D_MODEL, D_MODEL, bias=False)
+            self.attn = AutoCorr()
+            self.dk = dk
+
+        def forward(self, q, k, v):
+            b = q.shape[0]
+            sp = lambda x: x.view(b, -1, HEADS, self.dk).transpose(1, 2)
+            ctx = self.attn(sp(self.wq(q)), sp(self.wk(k)), sp(self.wv(v)))
+            ctx = ctx.transpose(1, 2).reshape(b, -1, D_MODEL)
+            return self.fc(ctx)
+
+    class Block(torch_nn.Module):
+        def __init__(self, cross=False):
+            super().__init__()
+            self.self_attn = MHA()
+            self.cross_attn = MHA() if cross else None
+            self.ffn = torch_nn.Sequential(
+                torch_nn.Linear(D_MODEL, D_MODEL * 4), torch_nn.ReLU(),
+                torch_nn.Linear(D_MODEL * 4, D_MODEL))
+            self.ln = torch_nn.LayerNorm(D_MODEL, elementwise_affine=False)
+
+        def forward(self, x, mem=None):
+            x = self.ln(x + self.self_attn(x, x, x))
+            if self.cross_attn is not None:
+                x = self.ln(x + self.cross_attn(x, mem, mem))
+            return self.ln(x + self.ffn(x))
+
+    class GP(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.z = torch_nn.Parameter(torch.randn(INDUCING, D_MODEL))
+            self.m = torch_nn.Parameter(torch.zeros(INDUCING))
+            self.log_s = torch_nn.Parameter(torch.zeros(INDUCING))
+            self.raw_ls = torch_nn.Parameter(torch.zeros(D_MODEL))
+            self.raw_os = torch_nn.Parameter(torch.zeros(()))
+            self.mean_w = torch_nn.Parameter(torch.randn(D_MODEL) / D_MODEL)
+            self.mean_b = torch_nn.Parameter(torch.zeros(()))
+            self.raw_noise = torch_nn.Parameter(torch.zeros(()))
+
+        def forward(self, x):  # (b, n, d) -> mean/var (b, n), kl, noise
+            ls = torch.nn.functional.softplus(self.raw_ls)
+            os_ = torch.nn.functional.softplus(self.raw_os)
+            zs, xs = self.z / ls, x / ls
+            d2 = (zs * zs).sum(-1)[:, None] + (zs * zs).sum(-1)[None, :] \
+                - 2 * zs @ zs.T
+            kzz = os_ * torch.exp(-0.5 * d2.clamp_min(0)) \
+                + 1e-4 * torch.eye(INDUCING)
+            L = torch.linalg.cholesky(kzz)
+            linv = torch.linalg.solve_triangular(
+                L, torch.eye(INDUCING), upper=False)
+            z2 = (zs * zs).sum(-1)  # (m,)
+            x2 = (xs * xs).sum(-1)  # (b, n)
+            d2zx = z2[None, :, None] + x2[:, None, :] \
+                - 2 * torch.einsum("md,bnd->bmn", zs, xs)
+            kzx = os_ * torch.exp(-0.5 * d2zx.clamp_min(0))
+            a = torch.einsum("mk,bkn->bmn", linv, kzx)
+            mean = x @ self.mean_w + self.mean_b + \
+                torch.einsum("bmn,m->bn", a, self.m)
+            s = torch.exp(self.log_s)
+            var = os_ - (a * a).sum(1) + ((s[:, None] * a) ** 2).sum(1)
+            kl = 0.5 * (torch.exp(2 * self.log_s) + self.m ** 2
+                        - 1 - 2 * self.log_s).sum()
+            noise = torch.nn.functional.softplus(self.raw_noise) + 1e-4
+            return mean, var.clamp_min(1e-8), kl, noise
+
+    class Flagship(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc_emb = torch_nn.Linear(F, D_MODEL)
+            self.dec_emb = torch_nn.Linear(F, D_MODEL)
+            self.enc = Block()
+            self.dec = Block(cross=True)
+            self.gp = GP()
+            self.proj_up = torch_nn.Linear(1, D_MODEL)
+            self.final = torch_nn.Linear(D_MODEL, 1)
+            self.lam = torch_nn.Parameter(torch.randn(1))
+
+        def fore(self, e, d):
+            eo = self.enc(e)
+            do = self.dec(d, eo)
+            return eo, do
+
+        def forward(self, enc, dec, y):
+            e, d = self.enc_emb(enc), self.dec_emb(dec)
+            eo, do = self.fore(e, d)
+            m1, _, _, _ = self.gp(eo)
+            m2, var2, kl, noise = self.gp(do)
+            e_noisy = eo + self.proj_up(m1[..., None])
+            d_noisy = do + self.proj_up(m2[..., None])
+            _, rec = self.fore(e_noisy, d_noisy)
+            final = self.final((do + rec)[:, -PRED:])
+            tgt = y[..., 0]
+            ell = (-0.5 * (((tgt - m2[:, -PRED:]) ** 2 + var2[:, -PRED:])
+                           / noise + torch.log(2 * torch.pi * noise))).mean(-1)
+            elbo = (ell - kl / D_MODEL).mean()
+            mse = ((y - final) ** 2).mean()
+            return mse + self.lam.clamp(0, 0.005)[0] * (-elbo)
+
+    model = Flagship()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4,
+                           betas=(0.9, 0.98), eps=1e-9)
+    enc = torch.randn(B, ENC_LEN, F)
+    dec = torch.randn(B, DEC_LEN, F)
+    y = torch.randn(B, PRED, 1)
+
+    # warmup
+    loss = model(enc, dec, y)
+    loss.backward()
+    opt.step()
+    opt.zero_grad()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = model(enc, dec, y)
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    jax_sps = bench_jax()
+
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            torch_sps = json.load(f)["torch_cpu_steps_per_sec"]
+    else:
+        torch_sps = bench_torch()
+        with open(CACHE, "w") as f:
+            json.dump({"torch_cpu_steps_per_sec": torch_sps,
+                       "config": "AutoDG solar b256 enc192 pred96"}, f)
+
+    print(json.dumps({
+        "metric": "train_steps_per_sec_AutoDG_b256",
+        "value": round(jax_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(jax_sps / torch_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

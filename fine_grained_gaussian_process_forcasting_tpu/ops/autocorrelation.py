@@ -69,9 +69,15 @@ def auto_correlation(
     kt = k.transpose(0, 1, 3, 2)
     vt = v.transpose(0, 1, 3, 2)
 
-    q_fft = jnp.fft.rfft(qt.astype(jnp.float32), axis=-1)
-    k_fft = jnp.fft.rfft(kt.astype(jnp.float32), axis=-1)
-    corr = jnp.fft.irfft(q_fft * jnp.conj(k_fft), n=L, axis=-1)  # (b,h,d,L)
+    # FFTs over collapsed 2-D operands: XLA's CPU fft thunk requires a
+    # dim0-major layout, which higher-rank transposed operands are not
+    # guaranteed to keep inside a large fused graph.
+    def _rfft(x):
+        flat = x.astype(jnp.float32).reshape(-1, L)
+        return jnp.fft.rfft(flat, axis=-1)
+
+    res = _rfft(qt) * jnp.conj(_rfft(kt))
+    corr = jnp.fft.irfft(res, n=L, axis=-1).reshape(b, h, d, L)
 
     top_k = int(factor * math.log(L))
     mean_value = jnp.mean(corr, axis=(1, 2))  # (b, L)

@@ -1,0 +1,106 @@
+"""Training CLI — the ``python train.py`` equivalent.
+
+Mirrors the reference's argparse surface (``train.py:247-280``) including
+the 3-random-seeds-from-meta-seed-1234 convention, with additions:
+``--synthetic`` trains on generated data (for offline/smoke runs),
+``--backbone lstm`` exercises the LSTM path, ``--pred_len`` is settable.
+
+Example (reference ``run.sh:1-7`` equivalent):
+    python -m fine_grained_gaussian_process_forcasting_tpu.train.cli \
+        --exp_name solar --attn_type ATA --model_name ATA_gp \
+        --denoising True --gp True
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import pandas as pd
+
+from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
+    make_synthetic_frame,
+)
+from fine_grained_gaussian_process_forcasting_tpu.train.harness import (
+    ExperimentHarness,
+    HarnessArgs,
+)
+
+
+def _str2bool(x: str) -> bool:
+    return str(x).lower() == "true"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="forecast-blur-denoise trainer")
+    parser.add_argument("--attn_type", type=str, default="ATA")
+    parser.add_argument("--model_name", type=str, default="ATA")
+    parser.add_argument("--exp_name", type=str, default="exchange")
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--n_trials", type=int, default=5)
+    parser.add_argument("--denoising", type=_str2bool, default="True")
+    parser.add_argument("--gp", type=_str2bool, default="True")
+    parser.add_argument("--residual", type=_str2bool, default="False")
+    parser.add_argument("--no-noise", dest="no_noise", type=_str2bool,
+                        default="False")
+    parser.add_argument("--input_corrupt_training", type=_str2bool,
+                        default="False")
+    parser.add_argument("--iso", type=_str2bool, default="False")
+    parser.add_argument("--num_epochs", type=int, default=50)
+    parser.add_argument("--pred_len", type=int, nargs="+", default=[96])
+    parser.add_argument("--n_seeds", type=int, default=3)
+    parser.add_argument("--backbone", type=str, default="transformer")
+    parser.add_argument("--out_dir", type=str, default=".")
+    parser.add_argument("--data_csv", type=str, default=None,
+                        help="path to the dataset csv ({exp_name}.csv default)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on generated schema-matching data")
+    parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
+    parser.add_argument("--num_inducing", type=int, default=256)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.synthetic:
+        raw_data = make_synthetic_frame(args.exp_name, num_entities=8,
+                                        steps_per_entity=1600, seed=0)
+    else:
+        csv_path = args.data_csv or f"{args.exp_name}.csv"
+        raw_data = pd.read_csv(csv_path, dtype={"date": str})
+
+    random.seed(1234)
+    seeds = [random.randint(1000, 9999) for _ in range(args.n_seeds)]
+    results = []
+    for seed in seeds:
+        for pred_len in args.pred_len:
+            # iso == denoising without GP and without no_noise
+            gp = args.gp and not args.iso
+            hargs = HarnessArgs(
+                exp_name=args.exp_name,
+                model_name=args.model_name,
+                attn_type=args.attn_type,
+                pred_len=pred_len,
+                seed=seed,
+                n_trials=args.n_trials,
+                num_epochs=args.num_epochs,
+                denoising=args.denoising,
+                gp=gp,
+                residual=args.residual,
+                no_noise=args.no_noise,
+                iso=args.iso,
+                input_corrupt_training=args.input_corrupt_training,
+                backbone=args.backbone,
+                out_dir=args.out_dir,
+                use_pallas_gp=args.use_pallas_gp,
+                num_inducing=args.num_inducing,
+            )
+            harness = ExperimentHarness(raw_data, hargs)
+            harness.run_study()
+            results.append(harness.evaluate())
+    return results
+
+
+if __name__ == "__main__":
+    main()

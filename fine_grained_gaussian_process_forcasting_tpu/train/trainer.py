@@ -101,15 +101,21 @@ class Trainer:
     def init_state(self, rng: jax.Array, enc: np.ndarray, dec: np.ndarray,
                    y: np.ndarray) -> TrainState:
         rng, init_rng = jax.random.split(rng)
-        variables = self.model.init(
-            {"params": init_rng, "noise": rng, "sampling": rng},
-            jnp.asarray(enc[:2]),
-            jnp.asarray(dec[:2]),
-            jnp.asarray(y[:2]),
-            training=True,
+
+        # jit the whole init: eager flax init dispatches op-by-op, which is
+        # painfully slow over a remote-TPU tunnel.
+        @jax.jit
+        def _init(init_r, r, e, d, t):
+            variables = self.model.init(
+                {"params": init_r, "noise": r, "sampling": r},
+                e, d, t, training=True,
+            )
+            return variables["params"], self.optimizer.init(variables["params"])
+
+        params, opt_state = _init(
+            init_rng, rng,
+            jnp.asarray(enc[:2]), jnp.asarray(dec[:2]), jnp.asarray(y[:2]),
         )
-        params = variables["params"]
-        opt_state = self.optimizer.init(params)
         return TrainState(params=params, opt_state=opt_state, rng=rng)
 
     def device_put_split(self, split: BatchedSplit):
