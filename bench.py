@@ -92,6 +92,13 @@ def bench_torch(steps: int = 2) -> float:
     class AutoCorr(torch_nn.Module):
         def forward(self, q, k, v):  # (b,h,l,d)
             b, h, L, d = q.shape
+            S = k.shape[2]
+            if L > S:
+                pad = torch.zeros(b, h, L - S, d)
+                k = torch.cat([k, pad], dim=2)
+                v = torch.cat([v, pad], dim=2)
+            else:
+                k, v = k[:, :, :L], v[:, :, :L]
             qt = q.transpose(-1, -2)
             kt = k.transpose(-1, -2)
             vt = v.transpose(-1, -2)

@@ -1,0 +1,71 @@
+"""Pallas kernel parity tests (interpret mode on the CPU test mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import rbf_ard
+from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.rbf import (
+    rbf_cross_kernel,
+)
+
+
+def _inputs(batch=(), n=37, m=19, d=5, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(*batch, n, d)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    ls = jnp.asarray(rng.uniform(0.5, 2.0, size=(d,)).astype(np.float32))
+    os_ = jnp.asarray(np.float32(1.3))
+    return x, z, ls, os_
+
+
+def test_rbf_pallas_matches_xla():
+    x, z, ls, os_ = _inputs()
+    ref = rbf_ard(x, z, ls, os_)
+    got = rbf_cross_kernel(x, z, ls, os_)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rbf_pallas_batched():
+    x, z, ls, os_ = _inputs(batch=(3,), n=21, m=8)
+    ref = rbf_ard(x, z, ls, os_)
+    got = rbf_cross_kernel(x, z, ls, os_)
+    assert got.shape == (3, 21, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rbf_pallas_gradients_match():
+    x, z, ls, os_ = _inputs(n=16, m=12, d=4)
+
+    def loss_pallas(x, z, ls, os_):
+        k = rbf_cross_kernel(x, z, ls, os_)
+        return jnp.sum(jnp.sin(k) * k)
+
+    def loss_ref(x, z, ls, os_):
+        k = rbf_ard(x, z, ls, os_)
+        return jnp.sum(jnp.sin(k) * k)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, z, ls, os_)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, z, ls, os_)
+    for gp_, gr in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(gp_), np.asarray(gr),
+                                   rtol=2e-3, atol=1e-4)
+
+
+def test_deep_gp_with_pallas_matches():
+    from fine_grained_gaussian_process_forcasting_tpu.gp import DeepGP
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 11, 6))
+    gp_ref = DeepGP(input_dims=6, num_inducing=8, use_pallas=False)
+    gp_pal = DeepGP(input_dims=6, num_inducing=8, use_pallas=True)
+    variables = gp_ref.init(jax.random.PRNGKey(1), x)
+    post_ref = gp_ref.apply(variables, x)
+    post_pal = gp_pal.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(post_pal.mean),
+                               np.asarray(post_ref.mean), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(post_pal.var),
+                               np.asarray(post_ref.var), rtol=1e-4,
+                               atol=1e-5)
