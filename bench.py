@@ -18,6 +18,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 B, ENC_LEN, DEC_LEN, PRED, F = 256, 192, 96, 96, 4
 D_MODEL, HEADS, LAYERS, INDUCING = 32, 8, 1, 256
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -28,6 +30,12 @@ def bench_jax(steps: int = 30) -> float:
     import jax
     import jax.numpy as jnp
     import optax
+
+    from fine_grained_gaussian_process_forcasting_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
         ForecastDenoising,
@@ -58,24 +66,30 @@ def bench_jax(steps: int = 30) -> float:
                           rngs={"noise": r, "sampling": r})
         return out.loss
 
-    @jax.jit
-    def train_step(p, s, r, enc_b, dec_b, y_b):
+    def train_step(carry, _):
+        p, s, r = carry
         r, sub = jax.random.split(r)
-        loss, grads = jax.value_and_grad(loss_fn)(p, sub, enc_b, dec_b, y_b)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub, enc, dec, y)
         updates, s = optimizer.update(grads, s, p)
         p = optax.apply_updates(p, updates)
-        return p, s, r, loss
+        return (p, s, r), loss
 
-    # warmup/compile
-    params, opt_state, rng, loss = train_step(params, opt_state, rng, enc, dec, y)
-    jax.block_until_ready(loss)
+    # the production trainer scans batches inside one jit (train/trainer.py);
+    # measure the same shape of work: `steps` fused train steps per dispatch.
+    @jax.jit
+    def run(p, s, r):
+        (p, s, r), losses = jax.lax.scan(train_step, (p, s, r), None,
+                                         length=steps)
+        return p, s, r, losses
+
+    params, opt_state, rng, losses = run(params, opt_state, rng)  # compile
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, rng, loss = train_step(params, opt_state, rng,
-                                                  enc, dec, y)
-    jax.block_until_ready(loss)
+    params, opt_state, rng, losses = run(params, opt_state, rng)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    assert float(loss) == float(loss), "nan loss in bench"
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), "non-finite loss in bench"
     return steps / dt
 
 

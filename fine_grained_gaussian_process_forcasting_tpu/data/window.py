@@ -152,17 +152,19 @@ def sample_windows(
     targets = df[[target_col]].to_numpy(dtype=np.float32, copy=False)
     ids = df[id_col].to_numpy()
 
-    # One gather: (n_real, time_steps) row indices.
-    gather = starts[:, None] + np.arange(time_steps, dtype=np.int64)[None, :]
-
     inputs = np.zeros((n_out, time_steps, input_size), dtype=np.float32)
     outputs_full = np.zeros((n_out, time_steps, 1), dtype=np.float32)
     identifiers = np.empty((n_out,), dtype=object)
     identifiers[:] = None
 
     if n_real:
-        inputs[:n_real] = values[gather]
-        outputs_full[:n_real] = targets[gather]
+        # One gather per matrix — multithreaded C++ engine when available,
+        # numpy fancy-index otherwise (see ``native/fgp_native.cpp``).
+        from fine_grained_gaussian_process_forcasting_tpu import native
+
+        inputs[:n_real] = native.gather_windows(values, starts, time_steps)
+        outputs_full[:n_real] = native.gather_windows(targets, starts,
+                                                      time_steps)
         identifiers[:n_real] = ids[starts]
 
     dec_len = time_steps - num_encoder_steps - pred_len

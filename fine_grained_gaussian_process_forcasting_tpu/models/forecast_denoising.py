@@ -75,6 +75,8 @@ class ForecastDenoising(nn.Module):
     num_inducing: int = 256
     use_pallas_gp: bool = False
     deterministic: bool = True  # eval mode (affects autocorrelation agg)
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
+    # forecaster's matmul path; the GP/losses stay fp32
 
     def setup(self):
         d = self.d_model
@@ -92,6 +94,7 @@ class ForecastDenoising(nn.Module):
                 n_layers=self.stack_size,
                 attn_type=self.attn_type,
                 deterministic=self.deterministic,
+                dtype=self.compute_dtype,
             )
         self.enc_embedding = nn.Dense(d)
         self.dec_embedding = nn.Dense(d)

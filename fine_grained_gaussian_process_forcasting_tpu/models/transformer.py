@@ -70,11 +70,12 @@ class FeedForward(nn.Module):
 
     d_model: int
     d_ff: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.relu(nn.Dense(self.d_ff, name="w1")(x))
-        return nn.Dense(self.d_model, name="w2")(h)
+        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype, name="w1")(x))
+        return nn.Dense(self.d_model, dtype=self.dtype, name="w2")(h)
 
 
 class MultiHeadAttention(nn.Module):
@@ -94,6 +95,7 @@ class MultiHeadAttention(nn.Module):
     fedformer_seq_len: int = 96  # hardcoded in the reference dispatcher (:69)
     fedformer_modes: int = 8
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in) -> jnp.ndarray:
@@ -120,9 +122,9 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dense(self.d_model, name="fed_out")(out.reshape(b, L, -1))
             return nn.Dense(self.d_model, use_bias=False, name="fc")(out)
 
-        q = nn.Dense(d_k * h, use_bias=False, name="wq")(q_in)
-        k = nn.Dense(d_k * h, use_bias=False, name="wk")(k_in)
-        v = nn.Dense(d_v * h, use_bias=False, name="wv")(v_in)
+        q = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype, name="wq")(q_in)
+        k = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype, name="wk")(k_in)
+        v = nn.Dense(d_v * h, use_bias=False, dtype=self.dtype, name="wv")(v_in)
 
         def split(x, d):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
@@ -151,7 +153,8 @@ class MultiHeadAttention(nn.Module):
             raise ValueError(f"unknown attn_type {self.attn_type!r}")
 
         context = context.transpose(0, 2, 1, 3).reshape(b, -1, h * d_v)
-        return nn.Dense(self.d_model, use_bias=False, name="fc")(context)
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        name="fc")(context)
 
 
 class EncoderLayer(nn.Module):
@@ -165,17 +168,21 @@ class EncoderLayer(nn.Module):
     n_heads: int
     attn_type: str
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+        ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                          dtype=self.dtype)
         attn_out = MultiHeadAttention(
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
-            deterministic=self.deterministic, name="self_attn",
+            deterministic=self.deterministic, dtype=self.dtype,
+            name="self_attn",
         )(x, x, x)
         out = ln(attn_out + x)
-        ffn_out = FeedForward(self.d_model, self.d_ff, name="ffn")(out)
+        ffn_out = FeedForward(self.d_model, self.d_ff, dtype=self.dtype,
+                              name="ffn")(out)
         return ln(ffn_out + out)
 
 
@@ -189,18 +196,21 @@ class DecoderLayer(nn.Module):
     n_heads: int
     attn_type: str
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, enc_out):
-        ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+        ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
+                          dtype=self.dtype)
         kw = dict(
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
-            deterministic=self.deterministic,
+            deterministic=self.deterministic, dtype=self.dtype,
         )
         out = ln(x + MultiHeadAttention(**kw, name="self_attn")(x, x, x))
         out2 = ln(out + MultiHeadAttention(**kw, name="cross_attn")(out, enc_out, enc_out))
-        out3 = ln(out2 + FeedForward(self.d_model, self.d_ff, name="ffn")(out2))
+        out3 = ln(out2 + FeedForward(self.d_model, self.d_ff, dtype=self.dtype,
+                                     name="ffn")(out2))
         return out3
 
 
@@ -213,15 +223,19 @@ class Encoder(nn.Module):
     n_layers: int
     attn_type: str
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = x + positional_encoding(x.shape[1], self.d_model, x.dtype)
         for i in range(self.n_layers):
             x = EncoderLayer(
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
-                deterministic=self.deterministic, name=f"layer{i}",
+                deterministic=self.deterministic, dtype=self.dtype,
+                name=f"layer{i}",
             )(x)
         return x
 
@@ -235,15 +249,19 @@ class Decoder(nn.Module):
     n_layers: int
     attn_type: str
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, enc_out):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = x + positional_encoding(x.shape[1], self.d_model, x.dtype)
         for i in range(self.n_layers):
             x = DecoderLayer(
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
-                deterministic=self.deterministic, name=f"layer{i}",
+                deterministic=self.deterministic, dtype=self.dtype,
+                name=f"layer{i}",
             )(x, enc_out)
         return x
 
@@ -261,6 +279,7 @@ class Transformer(nn.Module):
     n_layers: int
     attn_type: str = "basic"
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bfloat16)
 
     @nn.compact
     def __call__(self, enc_inputs, dec_inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -268,7 +287,9 @@ class Transformer(nn.Module):
             d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, n_layers=self.n_layers,
             attn_type=self.attn_type, deterministic=self.deterministic,
+            dtype=self.dtype,
         )
+        in_dtype = enc_inputs.dtype
         enc_out = Encoder(**kw, name="encoder")(enc_inputs)
         dec_out = Decoder(**kw, name="decoder")(dec_inputs, enc_out)
-        return enc_out, dec_out
+        return enc_out.astype(in_dtype), dec_out.astype(in_dtype)

@@ -57,10 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
     parser.add_argument("--num_inducing", type=int, default=256)
+    parser.add_argument("--max_train_samples", type=int, default=None)
+    parser.add_argument("--max_valid_samples", type=int, default=None)
     return parser
 
 
 def main(argv=None):
+    from fine_grained_gaussian_process_forcasting_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     if args.synthetic:
@@ -95,6 +102,8 @@ def main(argv=None):
                 out_dir=args.out_dir,
                 use_pallas_gp=args.use_pallas_gp,
                 num_inducing=args.num_inducing,
+                max_train_samples=args.max_train_samples,
+                max_valid_samples=args.max_valid_samples,
             )
             harness = ExperimentHarness(raw_data, hargs)
             harness.run_study()

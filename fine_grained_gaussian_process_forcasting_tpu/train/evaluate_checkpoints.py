@@ -51,6 +51,8 @@ class EvalArgs:
     input_corrupt: bool = False
     out_dir: str = "."
     num_inducing: int = 256
+    max_samples: Optional[int] = None  # override test sample count
+    batch_size: Optional[int] = None
 
 
 def _model_name(args: EvalArgs, attn: str, seed: int) -> str:
@@ -73,11 +75,14 @@ def evaluate_checkpoints(raw_data: pd.DataFrame, args: EvalArgs) -> Dict:
     model_params = formatter.get_default_model_params()
     data = formatter.transform_data(raw_data)
     train_max, valid_max = formatter.get_num_samples_for_calibration()
+    if args.max_samples is not None:
+        train_max = valid_max = args.max_samples
+    batch_size = args.batch_size or model_params["minibatch_size"][0]
     _, _, test = batch_sampled_data(
         data, 0.8 if args.exp_name != "exchange" else 0.4,
         (train_max, valid_max), params_exp["total_time_steps"],
         params_exp["num_encoder_steps"], args.pred_len,
-        params_exp["column_definition"], model_params["minibatch_size"][0],
+        params_exp["column_definition"], batch_size,
     )
 
     model_path = os.path.join(args.out_dir,

@@ -67,6 +67,9 @@ class HarnessArgs:
     d_model_choices: Tuple[int, ...] = (32, 16)
     stack_choices: Tuple[int, ...] = (1, 3)
     w_steps_choices: Tuple[int, ...] = (4000,)
+    # sample-count overrides (None => formatter defaults, e.g. 32000/3840)
+    max_train_samples: Optional[int] = None
+    max_valid_samples: Optional[int] = None
 
 
 class ExperimentHarness:
@@ -115,6 +118,10 @@ class ExperimentHarness:
     def _split_data(self):
         data = self.formatter.transform_data(self.raw_data)
         train_max, valid_max = self.formatter.get_num_samples_for_calibration()
+        if self.args.max_train_samples is not None:
+            train_max = self.args.max_train_samples
+        if self.args.max_valid_samples is not None:
+            valid_max = self.args.max_valid_samples
         train_frac = 0.4 if self.args.exp_name == "exchange" else 0.8
         return batch_sampled_data(
             data, train_frac, (train_max, valid_max),
@@ -165,13 +172,26 @@ class ExperimentHarness:
             self.train_data.enc[0], self.train_data.dec[0], self.train_data.y[0],
         )
 
+        from fine_grained_gaussian_process_forcasting_tpu.train.observability import (
+            MetricsLogger,
+            StepTimer,
+        )
+
+        metrics = MetricsLogger(os.path.join(
+            args.out_dir, "losses_lists", f"{self.model_name}_metrics.jsonl"))
+        timer = StepTimer()
+
         val_loss = 1e10
         curves_train, curves_valid = [], []
         for epoch in range(args.num_epochs):
             state, total_loss, total_mse = trainer.train_epoch(state, train_dev)
             v_loss, v_mse, _ = trainer.eval_epoch(state, valid_dev)
+            epoch_s = timer.tick()
             curves_train.append(total_mse)
             curves_valid.append(v_mse)
+            metrics.log(epoch, train_loss=total_loss, train_mse=total_mse,
+                        valid_loss=v_loss, valid_mse=v_mse,
+                        epoch_seconds=epoch_s)
             if epoch % 5 == 0:
                 print(f"Train epoch: {epoch}, loss: {total_loss:.4f}")
                 print(f"val loss: {v_loss:.4f}")
