@@ -132,3 +132,18 @@ def test_frequency_mode_selection():
     assert all(0 <= i < 48 for i in idx)
     low = get_frequency_modes(96, modes=8, mode_select_method="lowest")
     assert low == list(range(8))
+
+
+def test_autocorrelation_pow2_fold_exact():
+    """The padded-FFT wrap-fold must equal the direct circular-L correlation."""
+    rng = np.random.default_rng(9)
+    L = 24  # non-power-of-two
+    q = rng.normal(size=(1, 1, L, 3)).astype(np.float32)
+    k = rng.normal(size=(1, 1, L, 3)).astype(np.float32)
+    _, corr = auto_correlation(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(k), training=True)
+    qt = q.transpose(0, 1, 3, 2)
+    kt = k.transpose(0, 1, 3, 2)
+    ref = np.fft.irfft(np.fft.rfft(qt, axis=-1) *
+                       np.conj(np.fft.rfft(kt, axis=-1)), n=L, axis=-1)
+    np.testing.assert_allclose(np.asarray(corr), ref, rtol=1e-4, atol=1e-4)
