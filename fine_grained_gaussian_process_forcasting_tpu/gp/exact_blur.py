@@ -1,0 +1,97 @@
+"""Exact-GP blur at full sequence length — the O(n^3) stretch config.
+
+BASELINE.json's stretch item ("exact-GP blur at full sequence length,
+O(n^3) Pallas Cholesky"): instead of the 256-inducing-point variational
+approximation, run an *exact* GP over each sequence's hidden states —
+kernel-ridge smoothing of a learned 1-d projection:
+
+    z   = x w + b                      (b, s)      projection
+    K   = k(x, x)                      (b, s, s)   RBF-ARD over hidden dims
+    m   = K (K + noise I)^{-1} z       (b, s)      posterior mean at train pts
+    blur eps = proj_up(m)
+
+and the training signal is the exact marginal log likelihood of y under
+the same kernel (replacing the variational ELBO):
+
+    mll = -0.5 (y^T A^{-1} y + log|A| + n log 2pi) / n,   A = K + noise I
+
+The batched (b, s, s) Cholesky defaults to XLA's factorization, which
+measures fastest at these sizes (see ``ops/pallas/cholesky.py`` for the
+Pallas alternatives and their measured numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import softplus
+from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.cholesky import (
+    batched_cholesky,
+)
+
+_NOISE_FLOOR = 1e-4
+
+
+class ExactGPBlur(nn.Module):
+    input_dims: int
+    use_pallas: bool = False
+
+    def setup(self):
+        d = self.input_dims
+        self.raw_lengthscale = self.param(
+            "raw_lengthscale", nn.initializers.zeros, (d,))
+        self.raw_outputscale = self.param(
+            "raw_outputscale", nn.initializers.zeros, ())
+        self.raw_noise = self.param("raw_noise", nn.initializers.zeros, ())
+        self.mean_weight = self.param(
+            "mean_weight", nn.initializers.normal(1.0 / d), (d,))
+        self.mean_bias = self.param("mean_bias", nn.initializers.zeros, ())
+
+    def _factor(self, x: jnp.ndarray):
+        """x: (b, s, d) -> (K, L) with A = K + noise I = L L^T."""
+        ls = softplus(self.raw_lengthscale)
+        os_ = softplus(self.raw_outputscale)
+        noise = softplus(self.raw_noise) + _NOISE_FLOOR
+        xs = x / ls
+        x2 = jnp.sum(xs * xs, axis=-1)
+        d2 = x2[..., :, None] + x2[..., None, :] - 2.0 * jnp.einsum(
+            "bnd,bmd->bnm", xs, xs, preferred_element_type=jnp.float32)
+        k = os_ * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        a = k + noise * jnp.eye(x.shape[1], dtype=k.dtype)
+        chol = batched_cholesky(a) if self.use_pallas else jnp.linalg.cholesky(a)
+        return k, chol
+
+    def smooth(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Posterior-mean smoothing of the hidden projection: (b, s)."""
+        k, chol = self._factor(x)
+        z = jnp.einsum("bsd,d->bs", x, self.mean_weight) + self.mean_bias
+        alpha = jax.scipy.linalg.cho_solve((chol, True), z[..., None])[..., 0]
+        return jnp.einsum("bst,bt->bs", k, alpha,
+                          preferred_element_type=jnp.float32)
+
+    def mll(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-point exact marginal log likelihood, averaged over batch.
+
+        x: (b, s, d); y: (b, s).
+        """
+        _, chol = self._factor(x)
+        resid = (y - (jnp.einsum("bsd,d->bs", x, self.mean_weight)
+                      + self.mean_bias))[..., None]
+        alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
+        n = y.shape[-1]
+        quad = jnp.sum(resid * alpha, axis=(-1, -2))
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        mll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+        return jnp.mean(mll / n)
+
+    def __call__(self, x: jnp.ndarray,
+                 y: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        mean = self.smooth(x)
+        mll = self.mll(x, y) if y is not None else None
+        return mean, mll

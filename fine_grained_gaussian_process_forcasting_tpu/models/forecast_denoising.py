@@ -73,6 +73,8 @@ class ForecastDenoising(nn.Module):
     residual: bool = False
     input_corrupt: bool = False
     num_inducing: int = 256
+    gp_kind: str = "variational"  # 'variational' (reference parity) or
+    # 'exact' (stretch config: full-sequence exact GP, Pallas Cholesky)
     use_pallas_gp: bool = False
     deterministic: bool = True  # eval mode (affects autocorrelation agg)
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
@@ -99,18 +101,28 @@ class ForecastDenoising(nn.Module):
         self.enc_embedding = nn.Dense(d)
         self.dec_embedding = nn.Dense(d)
         self.final_projection = nn.Dense(1)
-        self.deep_gp = DeepGP(
-            input_dims=d,
-            num_inducing=self.num_inducing,
-            use_pallas=self.use_pallas_gp,
-        )
+        if self.gp_kind == "exact":
+            from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
+                ExactGPBlur,
+            )
+
+            self.deep_gp = ExactGPBlur(input_dims=d)
+        else:
+            self.deep_gp = DeepGP(
+                input_dims=d,
+                num_inducing=self.num_inducing,
+                use_pallas=self.use_pallas_gp,
+            )
         self.proj_up = nn.Dense(d)
         self.norm = nn.LayerNorm(epsilon=1e-5)  # denoiser's (unused) norm kept
         self.lam = self.param("lam", nn.initializers.normal(1.0), (1,))
 
     # -- denoise_model_2 equivalent (``denoise_model_2.py:32-65``) -------- #
 
-    def _add_gp_noise(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, GPPosterior]:
+    def _add_gp_noise(self, x: jnp.ndarray):
+        if self.gp_kind == "exact":
+            mean = self.deep_gp.smooth(x)  # (b, s)
+            return x + self.proj_up(mean[..., None]), None
         post = self.deep_gp(x)  # marginals over (b, s)
         eps = self.proj_up(post.mean[..., None])  # (b, s, d)
         return x + eps, post
@@ -161,16 +173,21 @@ class ForecastDenoising(nn.Module):
             de_out, posterior = self._denoise(enc_out, dec_out, training)
             final = self.final_projection(de_out[:, -self.pred_len :, :])
 
-            if self.gp and training and y_true is not None and posterior is not None:
+            if self.gp and training and y_true is not None:
                 target = y_true[..., 0]  # (b, pred_len)
                 n = target.shape[-1]
-                sliced = GPPosterior(
-                    mean=posterior.mean[..., -n:],
-                    var=posterior.var[..., -n:],
-                    kl=posterior.kl,
-                    noise=posterior.noise,
-                )
-                mll_error = -variational_elbo(target, sliced, num_data=self.d_model)
+                if self.gp_kind == "exact":
+                    # exact marginal log likelihood replaces the ELBO
+                    mll_error = -self.deep_gp.mll(dec_out[:, -n:], target)
+                elif posterior is not None:
+                    sliced = GPPosterior(
+                        mean=posterior.mean[..., -n:],
+                        var=posterior.var[..., -n:],
+                        kl=posterior.kl,
+                        noise=posterior.noise,
+                    )
+                    mll_error = -variational_elbo(
+                        target, sliced, num_data=self.d_model)
 
             if self.residual:
                 enc_res, dec_res = self.forecasting_model(enc_out, dec_out)

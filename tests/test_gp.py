@@ -147,3 +147,59 @@ def test_exact_gp_recovers_function():
     assert np.all(np.asarray(var) >= 0)
     mll = float(exact_gp_mll(params, x, y))
     assert np.isfinite(mll)
+
+
+def test_exact_gp_blur_module():
+    from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
+        ExactGPBlur,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 12, 4))
+    y = jax.random.normal(jax.random.PRNGKey(1), (3, 12))
+    mod = ExactGPBlur(input_dims=4, use_pallas=True)
+    variables = mod.init(jax.random.PRNGKey(2), x, y)
+    mean, mll = mod.apply(variables, x, y)
+    assert mean.shape == (3, 12)
+    assert np.isfinite(float(mll))
+    # smoothing regularizes: the posterior mean has no larger norm than a
+    # noiseless interpolation of the projection
+    z = np.einsum("bsd,d->bs", np.asarray(x),
+                  np.asarray(variables["params"]["mean_weight"])) + float(
+                      variables["params"]["mean_bias"])
+    assert np.linalg.norm(np.asarray(mean)) <= np.linalg.norm(z) * 1.5
+
+
+def test_composite_exact_gp_kind():
+    from fine_grained_gaussian_process_forcasting_tpu.models import (
+        ForecastDenoising,
+    )
+
+    model = ForecastDenoising(
+        src_input_size=4, tgt_input_size=4, d_model=16, n_heads=4, d_k=4,
+        stack_size=1, pred_len=8, attn_type="basic", gp=True, denoise=True,
+        gp_kind="exact",
+    )
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(size=(4, 24, 4)).astype(np.float32))
+    dec = jnp.asarray(rng.normal(size=(4, 8, 4)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(4, 8, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+         "sampling": jax.random.PRNGKey(2)}, enc, dec, y, training=True)
+    out = model.apply(
+        variables, enc, dec, y, training=True,
+        rngs={"noise": jax.random.PRNGKey(3),
+              "sampling": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(out.loss))
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params}, enc, dec, y, training=True,
+            rngs={"noise": jax.random.PRNGKey(3),
+                  "sampling": jax.random.PRNGKey(4)})
+        return o.loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    total = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads["deep_gp"]))
+    assert total > 0.0

@@ -69,3 +69,42 @@ def test_deep_gp_with_pallas_matches():
     np.testing.assert_allclose(np.asarray(post_pal.var),
                                np.asarray(post_ref.var), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_batched_cholesky_matches_xla():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.cholesky import (
+        batched_cholesky,
+    )
+
+    rng = np.random.default_rng(7)
+    for b, n in [(3, 64), (2, 100), (4, 192)]:
+        x = rng.normal(size=(b, n, n)).astype(np.float32)
+        a = jnp.asarray(x @ x.transpose(0, 2, 1) + 5 * np.eye(n, dtype=np.float32))
+        got = batched_cholesky(a)
+        ref = jnp.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_batched_cholesky_gradients():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.cholesky import (
+        batched_cholesky,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 32
+    x = rng.normal(size=(2, n, n)).astype(np.float32)
+    a = jnp.asarray(x @ x.transpose(0, 2, 1) + 5 * np.eye(n, dtype=np.float32))
+
+    def f_pallas(a):
+        return jnp.sum(jnp.sin(batched_cholesky(a)))
+
+    def f_ref(a):
+        return jnp.sum(jnp.sin(jnp.linalg.cholesky(a)))
+
+    g_pallas = jax.grad(f_pallas)(a)
+    g_ref = jax.grad(f_ref)(a)
+    # reference grad is only defined up to the symmetric part used
+    sym = lambda m: 0.5 * (m + np.swapaxes(np.asarray(m), -1, -2))
+    np.testing.assert_allclose(sym(g_pallas), sym(g_ref), rtol=2e-3,
+                               atol=2e-3)
