@@ -76,6 +76,7 @@ class ForecastDenoising(nn.Module):
     gp_kind: str = "variational"  # 'variational' (reference parity) or
     # 'exact' (stretch config: full-sequence exact GP, Pallas Cholesky)
     use_pallas_gp: bool = False
+    use_pallas_attention: bool = False
     deterministic: bool = True  # eval mode (affects autocorrelation agg)
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
     # forecaster's matmul path; the GP/losses stay fp32
@@ -97,6 +98,7 @@ class ForecastDenoising(nn.Module):
                 attn_type=self.attn_type,
                 deterministic=self.deterministic,
                 dtype=self.compute_dtype,
+                use_pallas_attention=self.use_pallas_attention,
             )
         self.enc_embedding = nn.Dense(d)
         self.dec_embedding = nn.Dense(d)

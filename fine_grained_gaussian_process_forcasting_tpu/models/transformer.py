@@ -96,6 +96,7 @@ class MultiHeadAttention(nn.Module):
     fedformer_modes: int = 8
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in) -> jnp.ndarray:
@@ -148,7 +149,14 @@ class MultiHeadAttention(nn.Module):
                 rng = jax.random.PRNGKey(0)
             context, _ = prob_sparse_attention(q, k, v, rng)
         elif self.attn_type == "basic":
-            context, _ = scaled_dot_attention(q, k, v)
+            if self.use_pallas_attention:
+                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.flash_attention import (
+                    fused_attention,
+                )
+
+                context = fused_attention(q, k, v)
+            else:
+                context, _ = scaled_dot_attention(q, k, v)
         else:
             raise ValueError(f"unknown attn_type {self.attn_type!r}")
 
@@ -169,6 +177,7 @@ class EncoderLayer(nn.Module):
     attn_type: str
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -178,6 +187,7 @@ class EncoderLayer(nn.Module):
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
             deterministic=self.deterministic, dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
             name="self_attn",
         )(x, x, x)
         out = ln(attn_out + x)
@@ -197,6 +207,7 @@ class DecoderLayer(nn.Module):
     attn_type: str
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, enc_out):
@@ -206,6 +217,7 @@ class DecoderLayer(nn.Module):
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
             deterministic=self.deterministic, dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
         )
         out = ln(x + MultiHeadAttention(**kw, name="self_attn")(x, x, x))
         out2 = ln(out + MultiHeadAttention(**kw, name="cross_attn")(out, enc_out, enc_out))
@@ -224,6 +236,7 @@ class Encoder(nn.Module):
     attn_type: str
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -235,6 +248,7 @@ class Encoder(nn.Module):
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
                 deterministic=self.deterministic, dtype=self.dtype,
+                use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
             )(x)
         return x
@@ -250,6 +264,7 @@ class Decoder(nn.Module):
     attn_type: str
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, enc_out):
@@ -261,6 +276,7 @@ class Decoder(nn.Module):
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
                 deterministic=self.deterministic, dtype=self.dtype,
+                use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
             )(x, enc_out)
         return x
@@ -280,6 +296,7 @@ class Transformer(nn.Module):
     attn_type: str = "basic"
     deterministic: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bfloat16)
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, enc_inputs, dec_inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -288,6 +305,7 @@ class Transformer(nn.Module):
             n_heads=self.n_heads, n_layers=self.n_layers,
             attn_type=self.attn_type, deterministic=self.deterministic,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
         )
         in_dtype = enc_inputs.dtype
         enc_out = Encoder(**kw, name="encoder")(enc_inputs)

@@ -1,0 +1,139 @@
+"""Fused softmax attention Pallas kernel.
+
+At this model family's sequence lengths (<= 384) the full score matrix of
+one (batch, head) fits comfortably in VMEM, so the win over XLA is not
+tiling (classic flash attention) but *fusion*: scores -> softmax -> context
+never touch HBM.  XLA materializes the (b*h, L, L) attention weights in
+fp32 both forward and backward (~1.2 GB of traffic per AutoDG step at
+b=256, L=192); this kernel keeps them on-chip.
+
+Forward per grid cell (one batch*head):  S = q k^T / sqrt(d);
+P = softmax(S); o = P v.  Backward recomputes P from the saved q/k (cheap)
+and fuses dv = P^T do, dp = do v^T, ds = P * (dp - rowsum(dp * P)),
+dq = ds k / sqrt(d), dk = ds^T q / sqrt(d).
+
+The head dim is zero-padded to the 128-lane boundary (exact: padded lanes
+contribute zero to every contraction).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale_ref[0, 0]
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(scale_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    scale = scale_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv_ref[0] = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+
+
+def _pad_lanes(x, dpad):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, dpad - x.shape[-1])))
+
+
+def _specs(n, lq, lk, dpad, n_out=1):
+    blk = lambda l: pl.BlockSpec((1, l, dpad), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blk(lq), blk(lk), blk(lk),
+    ]
+    return in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """Softmax attention over (b, h, l, d); context only (no attn matrix).
+
+    Numerically matches ``ops.attention.scaled_dot_attention``'s context.
+    """
+    o, _ = _fwd(q, k, v)
+    return o
+
+
+def _flatten(q, k, v):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    dpad = max(128, ((d + 127) // 128) * 128)
+    n = b * h
+    qf = _pad_lanes(q.reshape(n, lq, d).astype(jnp.float32), dpad)
+    kf = _pad_lanes(k.reshape(n, lk, d).astype(jnp.float32), dpad)
+    vf = _pad_lanes(v.reshape(n, lk, d).astype(jnp.float32), dpad)
+    scale = jnp.asarray(1.0 / math.sqrt(d), jnp.float32).reshape(1, 1)
+    return qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n)
+
+
+def _fwd(q, k, v):
+    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n) = _flatten(q, k, v)
+    o = pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, lq, dpad), jnp.float32),
+        grid=(n,),
+        in_specs=_specs(n, lq, lk, dpad),
+        out_specs=pl.BlockSpec((1, lq, dpad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * lq * lk * (2 * dpad),
+            bytes_accessed=4 * n * (lq + 2 * lk + lq) * dpad,
+            transcendentals=n * lq * lk,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(scale, qf, kf, vf)
+    out = o[:, :, :d].reshape(b, h, lq, d).astype(q.dtype)
+    return out, (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n) = _flatten(q, k, v)
+    gf = _pad_lanes(g.reshape(n, lq, d).astype(jnp.float32), dpad)
+    blk = lambda l: pl.BlockSpec((1, l, dpad), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, lq, dpad), jnp.float32),
+            jax.ShapeDtypeStruct((n, lk, dpad), jnp.float32),
+            jax.ShapeDtypeStruct((n, lk, dpad), jnp.float32),
+        ),
+        grid=(n,),
+        in_specs=_specs(n, lq, lk, dpad) + [blk(lq)],
+        out_specs=(blk(lq), blk(lk), blk(lk)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * n * lq * lk * dpad,
+            bytes_accessed=4 * n * (3 * lq + 4 * lk) * dpad,
+            transcendentals=n * lq * lk,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(scale, qf, kf, vf, gf)
+    to = lambda x, l: x[:, :, :d].reshape(b, h, l, d)
+    return (to(dq, lq).astype(q.dtype), to(dk, lk).astype(k.dtype),
+            to(dv, lk).astype(v.dtype))
+
+
+fused_attention.defvjp(_fwd, _bwd)

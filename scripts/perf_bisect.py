@@ -88,6 +88,10 @@ if __name__ == "__main__":
                                       gp=False, compute_dtype=jnp.bfloat16),
         "gp_autoformer_bf16": dict(attn_type="autoformer", denoise=True,
                                    gp=True, compute_dtype=jnp.bfloat16),
+        "plain_basic_pallas_attn": dict(attn_type="basic", denoise=False,
+                                        gp=False, use_pallas_attention=True),
+        "gp_basic_pallas_attn": dict(attn_type="basic", denoise=True,
+                                     gp=True, use_pallas_attention=True),
     }
     for tag, kw in cases.items():
         if which != "all" and which != tag:
