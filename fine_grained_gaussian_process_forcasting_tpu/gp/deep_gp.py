@@ -32,7 +32,7 @@ reference, ``train.py:20``) is identity here and omitted.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -58,68 +58,130 @@ class GPPosterior(NamedTuple):
     noise: jnp.ndarray
 
 
-class DeepGP(nn.Module):
-    """Single-hidden-layer deep GP with linear mean + Gaussian likelihood
-    (reference ``DeepGPp``, ``DeepGP.py:76-98``: one ``ToyDeepGPHiddenLayer``
-    with ``output_dims=None`` and ``mean_type='linear'``)."""
+class _VariationalLayer(nn.Module):
+    """One whitened mean-field variational GP layer.
+
+    ``output_dims=None`` -> scalar GP (reference's shipped config);
+    ``output_dims=h`` -> h independent batched GPs over the same inputs
+    (gpytorch ``DeepGPLayer`` with a batch shape, ``DeepGP.py:21-31``).
+    Returns per-point marginal (mean, var) with a trailing output-dim axis
+    when batched, plus the layer KL.
+    """
 
     input_dims: int
+    output_dims: Optional[int] = None
     num_inducing: int = 256
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> GPPosterior:
-        """x: (..., N, d) -> marginal q(f) over the N points."""
+    def __call__(self, x: jnp.ndarray):
         d, m = self.input_dims, self.num_inducing
+        h = self.output_dims
+        batch = (h,) if h else ()
 
         inducing = self.param(
-            "inducing_points", nn.initializers.normal(1.0), (m, d)
-        )
-        var_mean = self.param("variational_mean", nn.initializers.zeros, (m,))
+            "inducing_points", nn.initializers.normal(1.0), (*batch, m, d))
+        var_mean = self.param("variational_mean", nn.initializers.zeros,
+                              (*batch, m))
         var_log_std = self.param(
-            "variational_log_stddev", nn.initializers.zeros, (m,)
-        )
-        raw_ls = self.param("raw_lengthscale", nn.initializers.zeros, (d,))
-        raw_os = self.param("raw_outputscale", nn.initializers.zeros, ())
-        mean_w = self.param("mean_weight", nn.initializers.normal(1.0 / d), (d,))
-        mean_b = self.param("mean_bias", nn.initializers.zeros, ())
+            "variational_log_stddev", nn.initializers.zeros, (*batch, m))
+        raw_ls = self.param("raw_lengthscale", nn.initializers.zeros,
+                            (*batch, d))
+        raw_os = self.param("raw_outputscale", nn.initializers.zeros, batch)
+        mean_w = self.param("mean_weight", nn.initializers.normal(1.0 / d),
+                            (*batch, d))
+        mean_b = self.param("mean_bias", nn.initializers.zeros, batch)
+
+        def one_gp(inducing, var_mean, var_log_std, raw_ls, raw_os,
+                   mean_w, mean_b):
+            lengthscale = softplus(raw_ls)
+            outputscale = softplus(raw_os)
+            kzz = rbf_ard(inducing, inducing, lengthscale, outputscale)
+            kzz = kzz + _JITTER * jnp.eye(m, dtype=kzz.dtype)
+            chol = jnp.linalg.cholesky(kzz)
+            # Explicit small inverse -> downstream solves become MXU matmuls.
+            chol_inv = jax.scipy.linalg.solve_triangular(
+                chol, jnp.eye(m, dtype=kzz.dtype), lower=True)
+
+            if self.use_pallas:
+                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.rbf import (
+                    rbf_cross_kernel,
+                )
+
+                kzx = rbf_cross_kernel(x, inducing, lengthscale, outputscale)
+            else:
+                kzx = rbf_ard(x, inducing, lengthscale, outputscale)
+            a = jnp.einsum("mk,...nk->...nm", chol_inv, kzx,
+                           preferred_element_type=jnp.float32)
+
+            mean_x = jnp.einsum("...nd,d->...n", x, mean_w) + mean_b
+            mean = mean_x + a @ var_mean
+            s = jnp.exp(var_log_std)
+            var = (outputscale - jnp.sum(a * a, axis=-1)
+                   + jnp.sum((a * s) ** 2, axis=-1))
+            var = jnp.maximum(var, 1e-8)
+            s2 = jnp.exp(2.0 * var_log_std)
+            kl = 0.5 * jnp.sum(
+                s2 + var_mean * var_mean - 1.0 - 2.0 * var_log_std)
+            return mean, var, kl
+
+        if not h:
+            return one_gp(inducing, var_mean, var_log_std, raw_ls, raw_os,
+                          mean_w, mean_b)
+        # batched over output dims; marginals stacked on a trailing axis
+        means, vars_, kls = jax.vmap(one_gp)(
+            inducing, var_mean, var_log_std, raw_ls, raw_os, mean_w, mean_b)
+        move = lambda t: jnp.moveaxis(t, 0, -1)  # (..., N, h)
+        return move(means), move(vars_), jnp.sum(kls)
+
+
+class DeepGP(nn.Module):
+    """Deep GP with linear mean + Gaussian likelihood.
+
+    The reference's shipped config (``DeepGPp``, ``DeepGP.py:76-98``) is a
+    single hidden layer with ``output_dims=None``; ``hidden_dims`` adds the
+    multi-layer capability (BASELINE.json's "DeepGP multi-layer blur"):
+    each hidden layer is a batch of GPs whose reparameterized samples feed
+    the next layer, KL terms summing across layers.
+    """
+
+    input_dims: int
+    num_inducing: int = 256
+    use_pallas: bool = False
+    hidden_dims: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> GPPosterior:
+        """x: (..., N, d) -> marginal q(f) over the N points."""
         raw_noise = self.param("raw_noise", nn.initializers.zeros, ())
+        total_kl = jnp.zeros(())
 
-        lengthscale = softplus(raw_ls)
-        outputscale = softplus(raw_os)
+        in_dims = self.input_dims
+        for i, width in enumerate(self.hidden_dims):
+            mean, var, kl = _VariationalLayer(
+                input_dims=in_dims, output_dims=width,
+                num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+                name=f"hidden_layer{i}",
+            )(x)
+            total_kl = total_kl + kl
+            # reparameterized sample between layers (num_likelihood_samples=1)
+            if self.has_rng("noise"):
+                eps = jax.random.normal(self.make_rng("noise"), mean.shape,
+                                        mean.dtype)
+            else:
+                eps = jnp.zeros_like(mean)
+            x = mean + jnp.sqrt(var) * eps
+            in_dims = width
 
-        kzz = rbf_ard(inducing, inducing, lengthscale, outputscale)
-        kzz = kzz + _JITTER * jnp.eye(m, dtype=kzz.dtype)
-        chol = jnp.linalg.cholesky(kzz)
-        # Explicit small inverse -> downstream solves become MXU matmuls.
-        chol_inv = jax.scipy.linalg.solve_triangular(
-            chol, jnp.eye(m, dtype=kzz.dtype), lower=True
-        )
-
-        if self.use_pallas:
-            from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.rbf import (
-                rbf_cross_kernel,
-            )
-
-            kzx = rbf_cross_kernel(x, inducing, lengthscale, outputscale)
-        else:
-            kzx = rbf_ard(x, inducing, lengthscale, outputscale)  # (..., N, M)
-        a = jnp.einsum(
-            "mk,...nk->...nm", chol_inv, kzx, preferred_element_type=jnp.float32
-        )  # (..., N, M): row n holds A[:, n]^T
-
-        mean_x = jnp.einsum("...nd,d->...n", x, mean_w) + mean_b
-        mean = mean_x + a @ var_mean
-
-        s = jnp.exp(var_log_std)
-        k_diag = outputscale  # RBF: k(x,x) = outputscale
-        var = k_diag - jnp.sum(a * a, axis=-1) + jnp.sum((a * s) ** 2, axis=-1)
-        var = jnp.maximum(var, 1e-8)
-
-        s2 = jnp.exp(2.0 * var_log_std)
-        kl = 0.5 * jnp.sum(s2 + var_mean * var_mean - 1.0 - 2.0 * var_log_std)
+        mean, var, kl = _VariationalLayer(
+            input_dims=in_dims, output_dims=None,
+            num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+            name="output_layer",
+        )(x)
+        total_kl = total_kl + kl
         noise = softplus(raw_noise) + _NOISE_FLOOR
-        return GPPosterior(mean=mean, var=var, kl=kl, noise=noise)
+        return GPPosterior(mean=mean, var=jnp.maximum(var, 1e-8),
+                           kl=total_kl, noise=noise)
 
 
 def gaussian_expected_log_prob(

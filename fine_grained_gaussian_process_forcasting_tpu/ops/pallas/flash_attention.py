@@ -14,6 +14,11 @@ dq = ds k / sqrt(d), dk = ds^T q / sqrt(d).
 
 The head dim is zero-padded to the 128-lane boundary (exact: padded lanes
 contribute zero to every contraction).
+
+Measured on v5e at this model family's shapes (b=256, h=8, L=192, d_k=4):
+the 32x lane padding dominates and the kernel is ~2x *slower* than XLA's
+native batched path (26.3 vs 12.6 ms/step on the plain-basic model), so it
+stays opt-in (``use_pallas_attention``); it profits when d_k >= 64.
 """
 
 from __future__ import annotations

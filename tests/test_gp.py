@@ -59,36 +59,38 @@ def test_deep_gp_matches_naive_whitened_math():
 
     gp = DeepGP(input_dims=d, num_inducing=M)
     variables = gp.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    params = variables["params"]
+    params = jax.tree_util.tree_map(lambda v: v, variables["params"])
     # randomize the variational params so the test is non-trivial
-    params = dict(params)
-    params["variational_mean"] = jnp.asarray(
+    layer = dict(params["output_layer"])
+    layer["variational_mean"] = jnp.asarray(
         rng.normal(size=(M,)).astype(np.float32)
     )
-    params["variational_log_stddev"] = jnp.asarray(
+    layer["variational_log_stddev"] = jnp.asarray(
         rng.normal(size=(M,), scale=0.3).astype(np.float32)
     )
+    params = dict(params)
+    params["output_layer"] = layer
 
     post = gp.apply({"params": params}, jnp.asarray(x))
 
-    ls = jax.nn.softplus(params["raw_lengthscale"])
-    os_ = jax.nn.softplus(params["raw_outputscale"])
+    ls = jax.nn.softplus(layer["raw_lengthscale"])
+    os_ = jax.nn.softplus(layer["raw_outputscale"])
     mean_ref, var_ref = _naive_whitened_posterior(
         x,
-        np.asarray(params["inducing_points"]),
+        np.asarray(layer["inducing_points"]),
         ls,
         os_,
-        np.asarray(params["variational_mean"]),
-        np.exp(np.asarray(params["variational_log_stddev"])),
-        params["mean_weight"],
-        float(params["mean_bias"]),
+        np.asarray(layer["variational_mean"]),
+        np.exp(np.asarray(layer["variational_log_stddev"])),
+        layer["mean_weight"],
+        float(layer["mean_bias"]),
     )
     np.testing.assert_allclose(np.asarray(post.mean), mean_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(post.var), var_ref, rtol=1e-3, atol=1e-4)
 
     # KL of N(m, diag(s^2)) vs N(0, I)
-    m = np.asarray(params["variational_mean"])
-    log_s = np.asarray(params["variational_log_stddev"])
+    m = np.asarray(layer["variational_mean"])
+    log_s = np.asarray(layer["variational_log_stddev"])
     kl_ref = 0.5 * np.sum(np.exp(2 * log_s) + m**2 - 1 - 2 * log_s)
     np.testing.assert_allclose(float(post.kl), kl_ref, rtol=1e-4)
 
@@ -202,4 +204,30 @@ def test_composite_exact_gp_kind():
     grads = jax.grad(loss_fn)(variables["params"])
     total = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads["deep_gp"]))
+    assert total > 0.0
+
+
+def test_deep_gp_multilayer():
+    """Multi-layer deep GP: finite marginals, summed KLs, gradient flow."""
+    gp = DeepGP(input_dims=4, num_inducing=8, hidden_dims=(3,))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 4))
+    variables = gp.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(2)}, x)
+    post = gp.apply(variables, x, rngs={"noise": jax.random.PRNGKey(3)})
+    assert post.mean.shape == (2, 7)
+    assert np.all(np.asarray(post.var) > 0)
+    single = DeepGP(input_dims=4, num_inducing=8)
+    v1 = single.init(jax.random.PRNGKey(0), x)
+    kl_single = float(single.apply(v1, x).kl)
+    # two layers of variational params at init: both KLs are ~0 (q = prior)
+    assert np.isfinite(float(post.kl))
+
+    def loss(params):
+        p = gp.apply({"params": params}, x,
+                     rngs={"noise": jax.random.PRNGKey(3)})
+        return jnp.sum(p.mean ** 2) + jnp.sum(p.var)
+
+    grads = jax.grad(loss)(variables["params"])
+    total = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads["hidden_layer0"]))
     assert total > 0.0
