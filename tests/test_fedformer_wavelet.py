@@ -139,3 +139,31 @@ def test_fedformer_versions(version):
     out = model.apply(variables, x_enc, x_mark_enc, x_dec, x_mark_dec)
     assert out.shape == (b, 8, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_informer_stack():
+    from fine_grained_gaussian_process_forcasting_tpu.models.informer_stack import (
+        ConvLayer,
+        InformerDecoderLayer,
+        InformerEncoder,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    enc = InformerEncoder(d_model=16, n_layers=2, n_heads=4, distil=True)
+    variables = enc.init(jax.random.PRNGKey(1), x)
+    out = enc.apply(variables, x)
+    # distilled once: conv pad-2 gives 26, stride-2 pool -> 13 (matches the
+    # reference's Conv1d(padding=2) + MaxPool1d(3,2,1) arithmetic)
+    assert out.shape == (2, 13, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    dec_in = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16))
+    dec = InformerDecoderLayer(d_model=16, n_heads=4)
+    dv = dec.init(jax.random.PRNGKey(3), dec_in, out)
+    y = dec.apply(dv, dec_in, out)
+    assert y.shape == (2, 8, 16)
+
+    # ConvLayer ~halves the length (stride-2 pool over the pad-2 conv)
+    cl = ConvLayer(16)
+    cv = cl.init(jax.random.PRNGKey(4), x)
+    assert cl.apply(cv, x).shape == (2, 13, 16)
