@@ -141,3 +141,30 @@ class Trainer:
         enc, dec, y = data
         loss, mse, preds = self._eval_epoch(state.params, enc, dec, y)
         return float(loss), float(mse), preds
+
+    # -- checkpoint / resume ------------------------------------------- #
+
+    def save_state(self, path: str, name: str, state: TrainState) -> str:
+        """Full-state checkpoint (params + optimizer state) — true mid-run
+        resume, which the reference's params-only ``torch.save`` lacks
+        (``train.py:186-187``)."""
+        from fine_grained_gaussian_process_forcasting_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+
+        return save_checkpoint(path, name, jax.device_get(state.params),
+                               opt_state=jax.device_get(state.opt_state))
+
+    def restore_state(self, path: str, name: str, template: TrainState
+                      ) -> TrainState:
+        from fine_grained_gaussian_process_forcasting_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+
+        payload = load_checkpoint(path, name, template={
+            "params": jax.device_get(template.params),
+            "opt_state": jax.device_get(template.opt_state),
+        })
+        return TrainState(params=payload["params"],
+                          opt_state=payload["opt_state"],
+                          rng=template.rng, step=template.step)

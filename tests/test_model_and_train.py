@@ -159,3 +159,26 @@ def test_gradients_flow_through_gp():
         float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(gp_grads)
     )
     assert total > 0.0
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Full-state save/restore: resumed training continues identically."""
+    model = _model(denoise=True, gp=True)
+    rng = np.random.default_rng(3)
+    enc = rng.normal(size=(8, ENC_LEN, SRC)).astype(np.float32)
+    dec = rng.normal(size=(8, DEC_LEN, TGT)).astype(np.float32)
+    y = rng.normal(size=(8, PRED, 1)).astype(np.float32)
+    data = (jnp.asarray(enc[None]), jnp.asarray(dec[None]),
+            jnp.asarray(y[None]))
+
+    trainer = Trainer(model, d_model=DM, warmup_steps=100)
+    state = trainer.init_state(jax.random.PRNGKey(0), enc, dec, y)
+    state, _, _ = trainer.train_epoch(state, data)
+
+    trainer.save_state(str(tmp_path), "ckpt", state)
+    restored = trainer.restore_state(str(tmp_path), "ckpt", state)
+
+    s1, l1, m1 = trainer.train_epoch(state, data)
+    s2, l2, m2 = trainer.train_epoch(restored, data)
+    assert np.isclose(l1, l2, rtol=1e-5), (l1, l2)
+    assert np.isclose(m1, m2, rtol=1e-5)
