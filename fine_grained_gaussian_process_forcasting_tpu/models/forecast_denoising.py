@@ -133,7 +133,22 @@ class ForecastDenoising(nn.Module):
         self, enc_hidden: jnp.ndarray, dec_hidden: jnp.ndarray, training: bool
     ) -> Tuple[jnp.ndarray, Optional[GPPosterior]]:
         posterior = None
-        if self.gp:
+        if self.gp and self.gp_kind != "exact":
+            # one GP evaluation over the concatenated enc+dec points: the
+            # cross-covariance/solve batches over all positions at once
+            # (the two streams are independent given the shared params)
+            s_enc = enc_hidden.shape[1]
+            joint = jnp.concatenate([enc_hidden, dec_hidden], axis=1)
+            joint_noisy, posterior_joint = self._add_gp_noise(joint)
+            enc_noisy = joint_noisy[:, :s_enc]
+            dec_noisy = joint_noisy[:, s_enc:]
+            posterior = GPPosterior(
+                mean=posterior_joint.mean[..., s_enc:],
+                var=posterior_joint.var[..., s_enc:],
+                kl=posterior_joint.kl,
+                noise=posterior_joint.noise,
+            )
+        elif self.gp:
             enc_noisy, _ = self._add_gp_noise(enc_hidden)
             dec_noisy, posterior = self._add_gp_noise(dec_hidden)
         elif self.no_noise:
