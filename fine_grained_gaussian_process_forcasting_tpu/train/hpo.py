@@ -32,6 +32,7 @@ class Trial:
     value: Optional[float] = None
     state: str = "RUNNING"  # RUNNING | COMPLETE | PRUNED
     assigned: Optional[Dict[str, Any]] = None
+    intermediate: Dict[int, float] = dataclasses.field(default_factory=dict)
 
     def suggest_categorical(self, name: str, choices: Sequence[Any]) -> Any:
         choices = list(choices)
@@ -42,6 +43,31 @@ class Trial:
             value = self.study._rng.choice(choices)
         self.params[name] = value
         return value
+
+    # -- pruning API (Optuna-compatible; the reference's baselines study
+    # attaches a HyperbandPruner, ``baselines.py:109``) ------------------ #
+
+    def report(self, value: float, step: int) -> None:
+        self.intermediate[int(step)] = float(value)
+
+    def should_prune(self) -> bool:
+        """Median rule: prune when the latest reported value is worse than
+        the median of other trials' values at the same step (after a
+        warmup of 5 steps)."""
+        if not self.intermediate:
+            return False
+        step = max(self.intermediate)
+        if step < 5:
+            return False
+        others = [
+            t.intermediate[step]
+            for t in self.study.trials
+            if t is not self and step in t.intermediate
+        ]
+        if not others:
+            return False
+        median = sorted(others)[len(others) // 2]
+        return self.intermediate[step] > median
 
 
 class Study:

@@ -82,3 +82,23 @@ def test_harness_end_to_end(tmp_path):
         os.path.join(str(tmp_path), "losses_lists",
                      f"{harness.model_name}_mse_losses_train.npy")
     )
+
+
+def test_hpo_pruning_api():
+    """report/should_prune median rule (HyperbandPruner stand-in)."""
+    study = hpo.create_study(sampler="grid", seed=0)
+
+    def objective(trial):
+        d = trial.suggest_categorical("d", [1, 2, 3])
+        for step in range(10):
+            # trial with d=3 is consistently worse
+            trial.report(float(d * 10 + step if d == 3 else step), step)
+            if trial.should_prune():
+                raise hpo.TrialPruned()
+        return float(d)
+
+    study.optimize(objective, n_trials=3)
+    states = {t.params.get("d"): t.state for t in study.trials}
+    assert states[1] == "COMPLETE"
+    assert states[3] == "PRUNED"
+    assert study.best_trial.value == 1.0
