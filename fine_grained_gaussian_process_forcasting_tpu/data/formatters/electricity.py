@@ -8,7 +8,6 @@ identical: per-entity ``StandardScaler`` over the real inputs and the target,
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import sklearn.preprocessing
 

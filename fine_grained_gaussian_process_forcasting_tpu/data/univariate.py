@@ -16,8 +16,6 @@ Window layout matches the reference loaders: ``x_enc`` = first
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import pandas as pd
 

@@ -26,7 +26,7 @@ magnitude faster and produces arrays ready for one ``jax.device_put``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import pandas as pd

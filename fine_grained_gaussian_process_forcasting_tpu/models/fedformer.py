@@ -15,7 +15,7 @@ does not exist); this build fixes the capability.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ circular-conv + max-pool distilling layer between encoder blocks.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,6 @@ instead of the reference's interleaving reshapes.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -13,7 +13,7 @@ under ``seed``), exactly like the reference's ``get_frequency_modes``
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,8 +19,6 @@ On CPU (tests) the kernel runs in interpreter mode automatically.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -12,7 +12,7 @@ the psum XLA inserts after the row-parallel matmul.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

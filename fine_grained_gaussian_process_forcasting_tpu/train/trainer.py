@@ -10,7 +10,7 @@ mesh's 'data' axis; tensor parallelism from ``parallel.sharding`` rules.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ carries the same knobs in one place; CLI layers populate it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass
