@@ -1,0 +1,64 @@
+"""Inference-session tests: checkpoint -> predictor -> unscaled forecasts."""
+
+import jax
+import numpy as np
+
+from fine_grained_gaussian_process_forcasting_tpu.data.experiment import (
+    ExperimentConfig,
+)
+from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
+    make_synthetic_frame,
+)
+from fine_grained_gaussian_process_forcasting_tpu.models import (
+    ForecastDenoising,
+)
+from fine_grained_gaussian_process_forcasting_tpu.train.checkpoint import (
+    save_checkpoint,
+)
+from fine_grained_gaussian_process_forcasting_tpu.train.predict import (
+    InferenceSession,
+)
+
+
+def test_inference_session_end_to_end(tmp_path):
+    pred_len = 24
+    config = ExperimentConfig(pred_len, "electricity",
+                              root_folder=str(tmp_path / "outputs"))
+    formatter = config.make_data_formatter()
+    raw = make_synthetic_frame("electricity", num_entities=2,
+                               steps_per_entity=400, seed=9)
+
+    model = ForecastDenoising(
+        src_input_size=4, tgt_input_size=4, d_model=16, n_heads=4, d_k=4,
+        stack_size=1, pred_len=pred_len, attn_type="basic", gp=True,
+        denoise=True, num_inducing=8,
+    )
+    rng = jax.random.PRNGKey(0)
+    enc0 = np.zeros((2, 192, 4), np.float32)
+    dec0 = np.zeros((2, 24, 4), np.float32)
+    variables = model.init({"params": rng, "noise": rng, "sampling": rng},
+                           enc0, dec0)
+    save_checkpoint(str(tmp_path), "m", variables["params"])
+
+    session = InferenceSession.from_checkpoint(
+        model, str(tmp_path), "m", jax.device_get(variables["params"]),
+        batch_size=16)
+
+    # window-level prediction with a non-multiple batch
+    enc = np.random.default_rng(0).normal(size=(37, 192, 4)).astype(np.float32)
+    dec = np.random.default_rng(1).normal(size=(37, 24, 4)).astype(np.float32)
+    out = session.predict(enc, dec)
+    assert out.shape == (37, pred_len, 1)
+    assert np.all(np.isfinite(out))
+
+    # dataframe-level: original-scale output via format_predictions
+    result = session.predict_dataframe(raw, formatter, pred_len,
+                                       max_windows=8)
+    assert result is not None
+    assert "identifier" in result.columns
+    assert "t+1" in result.columns
+    assert len(result) == 8
+    # unscaled predictions should live near the raw target's range, not the
+    # z-scored range
+    raw_mean = raw["power_usage"].mean()
+    assert abs(result["t+1"].mean() - raw_mean) < 3 * raw["power_usage"].std()
