@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
     parser.add_argument("--num_inducing", type=int, default=256)
+    parser.add_argument("--gp_kind", type=str, default="variational",
+                        choices=["variational", "exact"])
     parser.add_argument("--max_train_samples", type=int, default=None)
     parser.add_argument("--max_valid_samples", type=int, default=None)
     return parser
@@ -102,6 +104,7 @@ def main(argv=None):
                 out_dir=args.out_dir,
                 use_pallas_gp=args.use_pallas_gp,
                 num_inducing=args.num_inducing,
+                gp_kind=args.gp_kind,
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,
             )
