@@ -77,7 +77,8 @@ class ForecastDenoising(nn.Module):
     # 'exact' (stretch config: full-sequence exact GP, Pallas Cholesky)
     use_pallas_gp: bool = False
     use_pallas_attention: bool = False
-    deterministic: bool = True  # eval mode (affects autocorrelation agg)
+    deterministic: bool = True  # retained static flag; the autocorrelation
+    # aggregator now follows the per-call ``training`` argument
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
     # forecaster's matmul path; the GP/losses stay fp32
 
@@ -166,7 +167,8 @@ class ForecastDenoising(nn.Module):
                 r2, dec_hidden.shape, dec_hidden.dtype
             )
         # Denoising network IS the forecaster (shared params).
-        _, dec_rec = self.forecasting_model(enc_noisy, dec_noisy)
+        _, dec_rec = self.forecasting_model(enc_noisy, dec_noisy,
+                                            training=training)
         return dec_hidden + dec_rec, posterior
 
     # --------------------------------------------------------------------- #
@@ -183,7 +185,8 @@ class ForecastDenoising(nn.Module):
         enc = self.enc_embedding(enc_inputs)
         dec = self.dec_embedding(dec_inputs)
 
-        enc_out, dec_out = self.forecasting_model(enc, dec)
+        enc_out, dec_out = self.forecasting_model(enc, dec,
+                                                  training=training)
         forecast = self.final_projection(dec_out[:, -self.pred_len :, :])
 
         if self.denoise or (self.input_corrupt and training):
@@ -207,7 +210,8 @@ class ForecastDenoising(nn.Module):
                         target, sliced, num_data=self.d_model)
 
             if self.residual:
-                enc_res, dec_res = self.forecasting_model(enc_out, dec_out)
+                enc_res, dec_res = self.forecasting_model(
+                    enc_out, dec_out, training=training)
                 res = self.final_projection(dec_res[:, -self.pred_len :, :])
                 final = forecast + res
         else:

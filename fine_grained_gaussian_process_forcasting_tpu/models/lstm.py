@@ -25,7 +25,8 @@ class LSTMBackbone(nn.Module):
     n_layers: int = 1
 
     @nn.compact
-    def __call__(self, enc_inputs, dec_inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, enc_inputs, dec_inputs,
+                 training: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = jnp.concatenate([enc_inputs, dec_inputs], axis=1)  # (b, L, d)
         b = x.shape[0]
         for i in range(self.n_layers):

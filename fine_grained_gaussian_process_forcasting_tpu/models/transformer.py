@@ -98,7 +98,7 @@ class MultiHeadAttention(nn.Module):
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in) -> jnp.ndarray:
+    def __call__(self, q_in, k_in, v_in, training: bool = False) -> jnp.ndarray:
         b = q_in.shape[0]
         h, d_k, d_v = self.n_heads, self.d_k, self.d_v
 
@@ -140,7 +140,9 @@ class MultiHeadAttention(nn.Module):
                 q, k, v
             )
         elif self.attn_type == "autoformer":
-            context, _ = auto_correlation(q, k, v, training=not self.deterministic)
+            # batch-shared delay aggregator in training, per-sample in eval
+            # (reference model.train()/eval(), ``Autoformer.py:118-121``)
+            context, _ = auto_correlation(q, k, v, training=training)
         elif self.attn_type == "informer":
             if self.has_rng("sampling"):
                 rng = self.make_rng("sampling")
@@ -179,7 +181,7 @@ class EncoderLayer(nn.Module):
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                           dtype=self.dtype)
         attn_out = MultiHeadAttention(
@@ -188,7 +190,7 @@ class EncoderLayer(nn.Module):
             deterministic=self.deterministic, dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             name="self_attn",
-        )(x, x, x)
+        )(x, x, x, training=training)
         out = ln(attn_out + x)
         ffn_out = FeedForward(self.d_model, self.d_ff, dtype=self.dtype,
                               name="ffn")(out)
@@ -209,7 +211,7 @@ class DecoderLayer(nn.Module):
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, enc_out):
+    def __call__(self, x, enc_out, training: bool = False):
         ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                           dtype=self.dtype)
         kw = dict(
@@ -218,8 +220,10 @@ class DecoderLayer(nn.Module):
             deterministic=self.deterministic, dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
         )
-        out = ln(x + MultiHeadAttention(**kw, name="self_attn")(x, x, x))
-        out2 = ln(out + MultiHeadAttention(**kw, name="cross_attn")(out, enc_out, enc_out))
+        out = ln(x + MultiHeadAttention(**kw, name="self_attn")(
+            x, x, x, training=training))
+        out2 = ln(out + MultiHeadAttention(**kw, name="cross_attn")(
+            out, enc_out, enc_out, training=training))
         out3 = ln(out2 + FeedForward(self.d_model, self.d_ff, dtype=self.dtype,
                                      name="ffn")(out2))
         return out3
@@ -238,7 +242,7 @@ class Encoder(nn.Module):
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = x + positional_encoding(x.shape[1], self.d_model, x.dtype)
@@ -249,7 +253,7 @@ class Encoder(nn.Module):
                 deterministic=self.deterministic, dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
-            )(x)
+            )(x, training=training)
         return x
 
 
@@ -266,7 +270,7 @@ class Decoder(nn.Module):
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, enc_out):
+    def __call__(self, x, enc_out, training: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = x + positional_encoding(x.shape[1], self.d_model, x.dtype)
@@ -277,7 +281,7 @@ class Decoder(nn.Module):
                 deterministic=self.deterministic, dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
-            )(x, enc_out)
+            )(x, enc_out, training=training)
         return x
 
 
@@ -293,12 +297,14 @@ class Transformer(nn.Module):
     n_heads: int
     n_layers: int
     attn_type: str = "basic"
-    deterministic: bool = True
+    deterministic: bool = True  # static fallback; autocorrelation follows
+    # the per-call ``training`` argument
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bfloat16)
     use_pallas_attention: bool = False
 
     @nn.compact
-    def __call__(self, enc_inputs, dec_inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, enc_inputs, dec_inputs,
+                 training: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         kw = dict(
             d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, n_layers=self.n_layers,
@@ -307,6 +313,7 @@ class Transformer(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
         )
         in_dtype = enc_inputs.dtype
-        enc_out = Encoder(**kw, name="encoder")(enc_inputs)
-        dec_out = Decoder(**kw, name="decoder")(dec_inputs, enc_out)
+        enc_out = Encoder(**kw, name="encoder")(enc_inputs, training=training)
+        dec_out = Decoder(**kw, name="decoder")(dec_inputs, enc_out,
+                                                training=training)
         return enc_out.astype(in_dtype), dec_out.astype(in_dtype)
