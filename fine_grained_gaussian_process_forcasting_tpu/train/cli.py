@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["variational", "exact"])
     parser.add_argument("--max_train_samples", type=int, default=None)
     parser.add_argument("--max_valid_samples", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the study")
     return parser
 
 
@@ -109,7 +111,12 @@ def main(argv=None):
                 max_valid_samples=args.max_valid_samples,
             )
             harness = ExperimentHarness(raw_data, hargs)
-            harness.run_study()
+            from fine_grained_gaussian_process_forcasting_tpu.train.observability import (
+                profile_trace,
+            )
+
+            with profile_trace(args.profile_dir):
+                harness.run_study()
             results.append(harness.evaluate())
     return results
 

@@ -155,3 +155,27 @@ def test_normalizers_and_lploss():
     y = x + 0.1
     assert float(loss(x, x)) < 1e-6
     assert float(loss(x, y)) > 0
+
+
+def test_profile_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from fine_grained_gaussian_process_forcasting_tpu.train.observability import (
+        StepTimer,
+        profile_trace,
+    )
+
+    trace_dir = str(tmp_path / "trace")
+    with profile_trace(trace_dir):
+        x = jnp.ones((64, 64))
+        jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, "no trace files captured"
+
+    timer = StepTimer()
+    timer.tick()
+    timer.tick()
+    assert timer.steps_per_sec > 0
