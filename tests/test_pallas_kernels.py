@@ -150,3 +150,44 @@ def test_fused_attention_gradients():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-4)
+
+
+def test_small_head_attention_matches_reference():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
+        scaled_dot_attention,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.small_head_attention import (
+        small_head_attention,
+    )
+
+    rng = np.random.default_rng(20)
+    q = jnp.asarray(rng.normal(size=(2, 3, 24, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 3, 16, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 3, 16, 4)).astype(np.float32))
+    got = small_head_attention(q, k, v)
+    ref, _ = scaled_dot_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_small_head_attention_gradients():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
+        scaled_dot_attention,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.small_head_attention import (
+        small_head_attention,
+    )
+
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.normal(size=(1, 2, 12, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 12, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 12, 4)).astype(np.float32))
+    g_got = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(small_head_attention(q, k, v))),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(scaled_dot_attention(q, k, v)[0])),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=1e-4)
