@@ -26,3 +26,10 @@ def test_dryrun_multichip_4():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_odd_and_single():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(1)
+    ge.dryrun_multichip(3)
