@@ -69,6 +69,10 @@ def auto_correlation(
 
     training=True  -> batch-shared delay discovery (``Autoformer.py:31-54``)
     training=False -> per-sample delays            (``Autoformer.py:56-81``)
+
+    Returns (context, mean correlation over heads/channels (b, L)) — the
+    full (b, h, d, L) correlation tensor the reference carries is never
+    consumed beyond this mean (see the restructuring note below).
     """
     b, h, L, d = q.shape
     S = k.shape[2]
@@ -89,10 +93,17 @@ def auto_correlation(
     # dim0-major layout, which higher-rank transposed operands are not
     # guaranteed to keep inside a large fused graph.
     #
-    # TPU FFTs of non-power-of-two lengths (the datasets' L=192/240/384)
-    # fall back to slow mixed-radix/Bluestein paths; instead compute the
-    # circular-L correlation exactly from a zero-padded power-of-two FFT
-    # via the wrap-around fold  corr_L[l] = c_N[l] + c_N[N-L+l].
+    # TPU-first restructurings of the reference's corr pipeline
+    # (``Autoformer.py:115-118``):
+    # - non-power-of-two FFT lengths (the datasets' 192/240/384) hit slow
+    #   mixed-radix paths; compute the circular-L correlation exactly from
+    #   zero-padded power-of-two FFTs via the wrap-around fold
+    #   corr_L[l] = c_N[l] + c_N[N-L+l];
+    # - only the (head, channel)-MEAN of the correlation is ever consumed
+    #   (``Autoformer.py:40-41,68-69``), and the mean commutes with the
+    #   inverse FFT — so average the spectra first and inverse-transform
+    #   (b, nfft) instead of (b*h*d, nfft): 32x less irfft work forward
+    #   and backward.
     nfft = 1 << (2 * L - 1).bit_length()
 
     def _rfft(x):
@@ -100,14 +111,14 @@ def auto_correlation(
         return jnp.fft.rfft(flat, n=nfft, axis=-1)
 
     res = _rfft(qt) * jnp.conj(_rfft(kt))
+    res_mean = jnp.mean(res.reshape(b, h * d, -1), axis=1)  # (b, nfft//2+1)
+    c_n = jnp.fft.irfft(res_mean, n=nfft, axis=-1)
     if nfft == L:
-        corr = jnp.fft.irfft(res, n=L, axis=-1).reshape(b, h, d, L)
+        mean_value = c_n
     else:
-        c_n = jnp.fft.irfft(res, n=nfft, axis=-1)
-        corr = (c_n[:, :L] + c_n[:, nfft - L:]).reshape(b, h, d, L)
+        mean_value = c_n[:, :L] + c_n[:, nfft - L:]  # (b, L)
 
     top_k = int(factor * math.log(L))
-    mean_value = jnp.mean(corr, axis=(1, 2))  # (b, L)
 
     if training:
         # Delays shared across the batch: top-k of the batch-mean correlation.
@@ -121,4 +132,4 @@ def auto_correlation(
         agg = _delay_aggregate(vt, delay, tmp_corr)
 
     context = agg.transpose(0, 1, 3, 2)  # back to (b, h, L, d)
-    return context, corr
+    return context, mean_value

@@ -54,11 +54,11 @@ def test_autocorrelation_identity_series():
     t = jnp.arange(L)
     sig = jnp.sin(2 * jnp.pi * t / 8)
     q = jnp.broadcast_to(sig, (B, H, D, L)).transpose(0, 1, 3, 2)
-    ctx, corr = auto_correlation(q, q, q, training=True)
+    ctx, mean_corr = auto_correlation(q, q, q, training=True)
     assert ctx.shape == (B, H, L, D)
     assert np.all(np.isfinite(np.asarray(ctx)))
     # the autocorrelation of the periodic series must peak at delay 0 / 8 / 16
-    mean_corr = np.asarray(corr).mean(axis=(0, 1, 2))
+    mean_corr = np.asarray(mean_corr).mean(axis=0)
     top = set(np.argsort(mean_corr)[-3:].tolist())
     assert top & {0, 8, 16, 24}
 
@@ -140,10 +140,11 @@ def test_autocorrelation_pow2_fold_exact():
     L = 24  # non-power-of-two
     q = rng.normal(size=(1, 1, L, 3)).astype(np.float32)
     k = rng.normal(size=(1, 1, L, 3)).astype(np.float32)
-    _, corr = auto_correlation(jnp.asarray(q), jnp.asarray(k),
-                               jnp.asarray(k), training=True)
+    _, mean_corr = auto_correlation(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(k), training=True)
     qt = q.transpose(0, 1, 3, 2)
     kt = k.transpose(0, 1, 3, 2)
     ref = np.fft.irfft(np.fft.rfft(qt, axis=-1) *
                        np.conj(np.fft.rfft(kt, axis=-1)), n=L, axis=-1)
-    np.testing.assert_allclose(np.asarray(corr), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean_corr), ref.mean(axis=(1, 2)),
+                               rtol=1e-4, atol=1e-4)
