@@ -40,3 +40,26 @@ def test_valid_window_starts():
     # entity 2: rows 13..29 -> starts 13..25
     expected = np.concatenate([np.arange(0, 6), np.arange(13, 26)])
     np.testing.assert_array_equal(np.sort(starts), expected)
+
+
+def test_numpy_fallback_paths_match_native(monkeypatch):
+    """With the compiled library unavailable, the numpy fallbacks must
+    produce identical results."""
+    rng = np.random.default_rng(3)
+    values = rng.normal(size=(300, 5)).astype(np.float32)
+    starts = rng.integers(0, 300 - 16, size=32).astype(np.int64)
+    offsets = np.array([0, 150, 300], dtype=np.int64)
+
+    native_gather = native.gather_windows(values, starts, 16)
+    native_std = native.standardize_per_entity(values.copy(), offsets)
+    native_starts = native.valid_window_starts(offsets, 16)
+
+    monkeypatch.setattr(native, "_load", lambda: None)
+    fb_gather = native.gather_windows(values, starts, 16)
+    fb_std = native.standardize_per_entity(values.copy(), offsets)
+    fb_starts = native.valid_window_starts(offsets, 16)
+
+    np.testing.assert_array_equal(fb_gather, native_gather)
+    np.testing.assert_allclose(fb_std[0], native_std[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fb_std[1], native_std[1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.sort(fb_starts), np.sort(native_starts))
