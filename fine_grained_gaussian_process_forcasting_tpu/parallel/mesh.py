@@ -23,10 +23,24 @@ def make_mesh(
 ) -> Mesh:
     """A 2-D ('data', 'model') mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
         n_data = len(devices) // n_model
-    used = devices[: n_data * n_model]
-    arr = np.array(used).reshape(n_data, n_model)
+    needed = n_data * n_model
+    if needed < 1:
+        raise ValueError(
+            f"mesh needs at least 1 device: n_data={n_data} n_model={n_model}"
+        )
+    if len(devices) < needed:
+        raise ValueError(
+            f"make_mesh(n_data={n_data}, n_model={n_model}) needs "
+            f"{needed} devices but only {len(devices)} are available "
+            f"({[d.platform for d in devices]}). For a virtual multi-device "
+            "run, start the process with JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={needed}."
+        )
+    arr = np.array(devices[:needed]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 
 
