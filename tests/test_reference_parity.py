@@ -279,3 +279,171 @@ def test_noam_schedule_matches():
         ref.n_steps = step + 1
         ref_lr = ref.lr_mul * ref._get_lr_scale()
         np.testing.assert_allclose(float(sched(step)), ref_lr, rtol=1e-6)
+
+
+def test_end_to_end_training_parity():
+    """Head-to-head joint training vs. the actual PyTorch reference.
+
+    Composes the reference's own modules into its No-D path (embeddings +
+    Transformer + final projection + MSE, ``forecast_denoising.py:75-79,
+    100-104``; the full ``Forecast_denoising`` class cannot be imported here
+    because it imports gpytorch at module scope, which this environment
+    lacks) and trains it and this framework's ``ForecastDenoising``
+    (gp=False, denoise=False — the identical math) on identical synthetic
+    windows, identical batch order, and the identical Noam-Adam law.
+
+    Each side uses its own native initialization (the per-op weight-copy
+    parity tests above cover forward-math equality; this test covers the
+    *training dynamics*: loss must decrease comparably and the converged
+    test MSE/MAE must agree within a few percent of the noise floor).
+    """
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    import optax
+    from modules.transformer import Transformer as RefTransformer
+
+    from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
+        ForecastDenoising,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.train.schedule import (
+        noam_adam,
+    )
+
+    d_model, n_heads, d_k, pred = 16, 4, 4, 8
+    enc_len, dec_len, feat = 24, 8, 4
+    n_train, n_test, bsz, epochs, warmup = 256, 128, 32, 120, 200
+
+    # --- synthetic task both models can represent exactly --------------- #
+    # target = linear(dec covariates) + nonlinearity + enc-mean signal
+    # (the enc-mean flows through cross-attention: even the reference's
+    # degenerate basic-attention context — sum over V — carries it).
+    rng = np.random.default_rng(0)
+
+    def make(n):
+        enc = rng.normal(size=(n, enc_len, feat)).astype(np.float32)
+        dec = rng.normal(size=(n, dec_len, feat)).astype(np.float32)
+        y = (
+            0.6 * dec[..., :1]
+            + 0.3 * np.sin(dec[..., 1:2])
+            + 0.2 * enc[..., 0].mean(axis=1)[:, None, None]
+            + 0.05 * rng.normal(size=(n, dec_len, 1))
+        ).astype(np.float32)
+        return enc, dec, y[:, -pred:]
+
+    tr_enc, tr_dec, tr_y = make(n_train)
+    te_enc, te_dec, te_y = make(n_test)
+    # identical batch order for both frameworks
+    order = [rng.permutation(n_train) for _ in range(epochs)]
+    batches = [
+        idx[i : i + bsz]
+        for idx in order
+        for i in range(0, n_train, bsz)
+    ]
+
+    # --- reference side -------------------------------------------------- #
+    class RefNoD(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(1234)
+            self.enc_embedding = tnn.Linear(feat, d_model)
+            self.dec_embedding = tnn.Linear(feat, d_model)
+            self.forecasting_model = RefTransformer(
+                src_input_size=feat, tgt_input_size=feat, pred_len=pred,
+                d_model=d_model, d_ff=d_model * 4, d_k=d_k, d_v=d_k,
+                n_heads=n_heads, n_layers=1, src_pad_index=0,
+                tgt_pad_index=0, device="cpu", attn_type="basic", seed=1234)
+            self.final_projection = tnn.Linear(d_model, 1)
+
+        def forward(self, enc, dec):
+            enc = self.enc_embedding(enc)
+            dec = self.dec_embedding(dec)
+            _, dec_out = self.forecasting_model(enc, dec)
+            return self.final_projection(dec_out[:, -pred:, :])
+
+    from modules.opt_model import NoamOpt
+
+    ref_model = RefNoD()
+    ref_opt = NoamOpt(
+        torch.optim.Adam(ref_model.parameters(), lr=0.0,
+                         betas=(0.9, 0.98), eps=1e-9),
+        2, d_model, warmup)
+    t_enc, t_dec, t_y = _t(tr_enc), _t(tr_dec), _t(tr_y)
+    ref_curve = []
+    ref_model.train()
+    for idx in batches:
+        i = torch.tensor(np.asarray(idx, dtype=np.int64))
+        out = ref_model(t_enc[i], t_dec[i])
+        loss = tF.mse_loss(t_y[i], out)
+        ref_opt.zero_grad()
+        loss.backward()
+        ref_opt.step_and_update_lr()
+        ref_curve.append(float(loss.detach()))
+    ref_model.eval()
+    with torch.no_grad():
+        ref_pred = ref_model(_t(te_enc), _t(te_dec)).numpy()
+    ref_mse = float(np.mean((te_y - ref_pred) ** 2))
+    ref_mae = float(np.mean(np.abs(te_y - ref_pred)))
+
+    # --- this framework --------------------------------------------------- #
+    model = ForecastDenoising(
+        src_input_size=feat, tgt_input_size=feat, d_model=d_model,
+        n_heads=n_heads, d_k=d_k, stack_size=1, pred_len=pred,
+        attn_type="basic", gp=False, denoise=False)
+    key = jax.random.PRNGKey(1234)
+    params = model.init(
+        {"params": key, "noise": key, "sampling": key},
+        jnp.asarray(tr_enc[:2]), jnp.asarray(tr_dec[:2]),
+        jnp.asarray(tr_y[:2]), training=True)["params"]
+    tx = noam_adam(d_model, warmup_steps=warmup, lr_mul=2.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, enc, dec, y):
+        def loss_fn(p):
+            return model.apply({"params": p}, enc, dec, y,
+                               training=True).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_enc, j_dec, j_y = map(jnp.asarray, (tr_enc, tr_dec, tr_y))
+    our_curve = []
+    for idx in batches:
+        i = jnp.asarray(np.asarray(idx))
+        params, opt_state, loss = step(
+            params, opt_state, j_enc[i], j_dec[i], j_y[i])
+        our_curve.append(float(loss))
+    pred_out = model.apply(
+        {"params": params}, jnp.asarray(te_enc), jnp.asarray(te_dec),
+        training=False).predictions
+    our_mse = float(np.mean((te_y - np.asarray(pred_out)) ** 2))
+    our_mae = float(np.mean(np.abs(te_y - np.asarray(pred_out))))
+
+    # --- parity ------------------------------------------------------------ #
+    # converged test error within a few percent of each other (noise floor
+    # is 0.05^2 = 2.5e-3), and both loss curves decayed the same way
+    print(f"ref MSE/MAE {ref_mse:.5f}/{ref_mae:.5f}  "
+          f"ours {our_mse:.5f}/{our_mae:.5f}")
+    assert abs(our_mse - ref_mse) <= 0.10 * ref_mse + 5e-4, (ref_mse, our_mse)
+    assert abs(our_mae - ref_mae) <= 0.10 * ref_mae + 5e-3, (ref_mae, our_mae)
+    q = len(ref_curve) // 4
+    assert np.mean(our_curve[-q:]) < 0.25 * np.mean(our_curve[:q])
+    assert np.mean(ref_curve[-q:]) < 0.25 * np.mean(ref_curve[:q])
+    # same decay shape where it is init-independent: quartile means
+    # decrease monotonically on both sides and the converged final
+    # quartiles agree.  (Mid-curve values are not comparable: each side
+    # keeps its native initializer, and this framework's basic attention
+    # fixes the reference's degenerate context einsum — it fits the
+    # cross-attention term faster by construction.)
+    ref_q = [float(np.mean(c)) for c in np.array_split(ref_curve, 4)]
+    our_q = [float(np.mean(c)) for c in np.array_split(our_curve, 4)]
+    assert all(b < a for a, b in zip(ref_q, ref_q[1:])), ref_q
+    assert all(b < a for a, b in zip(our_q, our_q[1:])), our_q
+    # both converge to the noise-floor neighborhood (floor = 0.05^2);
+    # ours trains lower (real attention fits the train set tighter),
+    # which is why the parity criterion above is *test* MSE/MAE
+    floor = 0.05 ** 2
+    assert ref_q[-1] < 4 * floor, ref_q
+    assert our_q[-1] < 4 * floor, our_q
