@@ -124,6 +124,12 @@ class ElectricityFormatter(GenericDataFormatter):
         output = pd.concat(df_list, axis=0)
 
         for col in categorical_inputs:
+            # Replicated reference quirk (``data/electricity.py:171-173``):
+            # codes are taken from the *unfiltered* frame's head rows and
+            # assigned positionally onto the filtered, re-concatenated
+            # output — misaligned whenever entities shorter than
+            # total_time_steps were dropped.  Pinned by
+            # tests/test_data_spine.py::test_categorical_misalignment_quirk.
             string_df = df[col].apply(str)
             output[col] = self._cat_scalers[col].transform(string_df[: len(output)])
         return output

@@ -23,14 +23,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a process-unique temp path and rename into place (rename
+    # is atomic on the same filesystem) so concurrent importers — parallel
+    # pytest, multi-process data prep — never load a half-written .so.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

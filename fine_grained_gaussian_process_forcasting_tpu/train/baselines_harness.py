@@ -187,7 +187,9 @@ class BaselinesHarness:
         return val_loss
 
     def run_study(self) -> hpo.Study:
-        study = hpo.create_study(study_name=self.model_id, sampler="grid",
+        # TPE sampler to match the reference's baselines study surface
+        # (``baselines.py:109-110`` attaches TPESampler + HyperbandPruner)
+        study = hpo.create_study(study_name=self.model_id, sampler="tpe",
                                  seed=self.seed)
         study.optimize(self.objective, n_trials=self.args.n_trials)
         return study

@@ -17,17 +17,29 @@ import orbax.checkpoint as ocp
 
 def save_checkpoint(model_path: str, model_name: str, params: Any,
                     opt_state: Optional[Any] = None) -> str:
+    """Atomic best-checkpoint save: write to a temp sibling, then rename
+    over the old directory, so a crash mid-save never loses the previous
+    best."""
+    import shutil
+
     path = os.path.abspath(os.path.join(model_path, model_name))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": params}
     if opt_state is not None:
         payload["opt_state"] = opt_state
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
 
 

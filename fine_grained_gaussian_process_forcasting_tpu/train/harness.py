@@ -124,6 +124,13 @@ class ExperimentHarness:
         if self.args.max_valid_samples is not None:
             valid_max = self.args.max_valid_samples
         train_frac = 0.4 if self.args.exp_name == "exchange" else 0.8
+        # drop-last batching would otherwise yield ZERO batches for any
+        # split whose sample cap is below the dataset's batch size (e.g.
+        # --max_train_samples 128 with solar's minibatch 256; valid/test
+        # are capped at valid_max)
+        cap = min(train_max, valid_max)
+        if cap < self.batch_size:
+            self.batch_size = max(1, cap)
         return batch_sampled_data(
             data, train_frac, (train_max, valid_max),
             self.params["total_time_steps"], self.params["num_encoder_steps"],

@@ -81,15 +81,22 @@ class Trainer:
             )
             return params, opt_state, rng, jnp.sum(losses), jnp.sum(mses)
 
-        def eval_epoch(params, enc, dec, y):
-            def step(_, batch):
+        def eval_epoch(params, rng, enc, dec, y):
+            # fresh noise per eval batch (the reference draws
+            # torch.randn_like per forward, ``denoise_model_2.py:59-60``;
+            # without this the iso variant would eval every batch against
+            # one fixed draw)
+            def step(i, batch):
                 enc_b, dec_b, y_b = batch
+                r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
                 out = model.apply(
-                    {"params": params}, enc_b, dec_b, y_b, training=False
+                    {"params": params}, enc_b, dec_b, y_b, training=False,
+                    rngs={"noise": r1, "sampling": r2},
                 )
-                return None, (out.loss, out.mse, out.predictions)
+                return i + 1, (out.loss, out.mse, out.predictions)
 
-            _, (losses, mses, preds) = jax.lax.scan(step, None, (enc, dec, y))
+            _, (losses, mses, preds) = jax.lax.scan(
+                step, jnp.zeros((), jnp.uint32), (enc, dec, y))
             return jnp.sum(losses), jnp.sum(mses), preds
 
         donate = (0, 1)
@@ -139,7 +146,10 @@ class Trainer:
 
     def eval_epoch(self, state: TrainState, data):
         enc, dec, y = data
-        loss, mse, preds = self._eval_epoch(state.params, enc, dec, y)
+        # state.rng is not consumed: eval stays reproducible for a given
+        # state while noise still varies across batches within the epoch
+        loss, mse, preds = self._eval_epoch(state.params, state.rng,
+                                            enc, dec, y)
         return float(loss), float(mse), preds
 
     # -- checkpoint / resume ------------------------------------------- #

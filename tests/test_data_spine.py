@@ -159,3 +159,32 @@ def test_window_content_matches_frame():
         assert len(hits) >= 1
         ok = any(np.allclose(sub[h : h + T], w, atol=1e-6) for h in hits)
         assert ok
+
+
+def test_categorical_misalignment_quirk():
+    """Pins the replicated reference quirk (``data/electricity.py:171-173``):
+    transform_inputs assigns categorical codes positionally from the
+    UNFILTERED frame's head rows, so whenever an entity shorter than
+    total_time_steps is dropped, the surviving rows' categorical column is
+    misaligned (it carries codes from rows that were filtered out)."""
+    from fine_grained_gaussian_process_forcasting_tpu.data.formatters.electricity import (
+        ElectricityFormatter,
+    )
+
+    fmt = ElectricityFormatter(pred_len=24)
+    T = fmt.get_fixed_params()["total_time_steps"]
+    long_df = make_synthetic_frame("electricity", num_entities=2,
+                                   steps_per_entity=T + 10)
+    # make entity 0 too short: it gets dropped by the length filter
+    short_mask = (long_df["id"] == 0.0) & (long_df["hours_from_start"] >= 5)
+    df = long_df[~short_mask].reset_index(drop=True)
+
+    out = fmt.transform_data(df)
+    # survivor rows are all entity 1 ...
+    assert (out["id"] == 1.0).all()
+    # ... but their categorical codes are the unfiltered frame's head rows:
+    # 5 leading rows of entity 0's code, then entity 1's code
+    expected = fmt._cat_scalers["categorical_id"].transform(
+        df["categorical_id"].apply(str)[: len(out)])
+    np.testing.assert_array_equal(out["categorical_id"].to_numpy(), expected)
+    assert (expected[:5] != expected[5]).all()  # the misalignment is real

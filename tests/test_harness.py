@@ -102,3 +102,71 @@ def test_hpo_pruning_api():
     assert states[1] == "COMPLETE"
     assert states[3] == "PRUNED"
     assert study.best_trial.value == 1.0
+
+
+def test_hpo_early_duplicate_pruning():
+    """A duplicate config is abandoned inside suggest_categorical, before
+    the objective body runs (reference behavior, train.py:121-123)."""
+    study = hpo.create_study(sampler="random", seed=0)
+    ran = []
+
+    def objective(trial):
+        a = trial.suggest_categorical("a", [1, 2])
+        ran.append(a)  # only reached for non-duplicate configs
+        return float(a)
+
+    study.optimize(objective, n_trials=12)
+    # objective body ran at most once per distinct config
+    assert sorted(set(ran)) == sorted(ran)
+    pruned = [t for t in study.trials if t.state == "PRUNED"]
+    assert pruned and all(not t.intermediate for t in pruned)
+
+
+def test_hpo_tpe_converges_to_known_optimum():
+    """TPE concentrates samples on the best grid cell of a 2-param space."""
+    def objective(trial):
+        x = trial.suggest_categorical("x", list(range(8)))
+        y = trial.suggest_categorical("y", list(range(8)))
+        # optimum at (2, 1)
+        return (x - 2) ** 2 + (y - 1) ** 2 + 0.01 * x
+
+    def run(sampler, seed):
+        study = hpo.create_study(sampler=sampler, seed=seed)
+        study.optimize(objective, n_trials=32)
+        done = [t for t in study.trials if t.state == "COMPLETE"]
+        return study, done
+
+    tpe_best, tpe_means = [], []
+    rnd_means = []
+    for seed in range(5):
+        s, done = run("tpe", seed)
+        tpe_best.append(s.best_trial.value)
+        tpe_means.append(np.mean([t.value for t in done]))
+        _, rdone = run("random", seed)
+        rnd_means.append(np.mean([t.value for t in rdone]))
+    # TPE finds a near-optimal cell (optimum value is 0.02)
+    assert min(tpe_best) <= 1.1, tpe_best
+    # and concentrates its sampling: mean explored value beats random
+    assert np.mean(tpe_means) < np.mean(rnd_means), (tpe_means, rnd_means)
+
+
+def test_hpo_parallel_trials():
+    """n_jobs > 1 runs trials thread-parallel with a consistent study."""
+    import threading
+
+    study = hpo.create_study(sampler="random", seed=3)
+    seen_threads = set()
+
+    def objective(trial):
+        a = trial.suggest_categorical("a", list(range(32)))
+        seen_threads.add(threading.get_ident())
+        return float(a)
+
+    study.optimize(objective, n_trials=16, n_jobs=4)
+    assert len(seen_threads) > 1
+    done = [t for t in study.trials if t.state == "COMPLETE"]
+    assert done
+    assert study.best_trial.value == min(t.value for t in done)
+    # no config recorded twice
+    seen = [tuple(sorted(t.params.items())) for t in done]
+    assert len(seen) == len(set(seen))
