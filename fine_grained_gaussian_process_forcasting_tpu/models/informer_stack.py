@@ -51,7 +51,8 @@ class AttentionLayer(nn.Module):
                    else jax.random.PRNGKey(0))
             ctx, attn = prob_sparse_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), rng)
+                v.transpose(0, 2, 1, 3), rng, factor=5,
+                mask_flag=self.mask_flag)
             out = ctx.transpose(0, 2, 1, 3)
         else:
             out, attn = full_attention(q, k, v, mask_flag=self.mask_flag)
@@ -133,8 +134,11 @@ class InformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cross, x_mask=None, cross_mask=None):
+        # masked ProbSparse self-attention (Informer's decoder uses
+        # ProbAttention(mask_flag=True): causal ProbMask + cumsum initial
+        # context, ``SelfAttention_Family.py:44-131``)
         x = x + AttentionLayer(
-            d_model=self.d_model, n_heads=self.n_heads, inner="full",
+            d_model=self.d_model, n_heads=self.n_heads, inner="prob",
             mask_flag=True, name="self_attention")(x, x, x, x_mask)[0]
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + AttentionLayer(

@@ -24,10 +24,22 @@ def prob_sparse_attention(
     rng: jax.Array,
     factor: int = 1,
     scale: Optional[float] = None,
+    mask_flag: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """ProbSparse attention over (b, h, l, d) operands (mask-free variant,
-    matching the dispatcher's ``ProbAttention(mask_flag=False)`` usage at
-    ``modules/multi_head_attention.py:85``)."""
+    """ProbSparse attention over (b, h, l, d) operands.
+
+    ``mask_flag=False`` matches the dispatcher's
+    ``ProbAttention(mask_flag=False)`` usage
+    (``modules/multi_head_attention.py:85``): non-top queries receive the
+    mean-of-values context.
+
+    ``mask_flag=True`` is the causal variant
+    (``layers/SelfAttention_Family.py:44-131``): requires ``L_Q == L_K``
+    (self-attention only), the initial context is the *cumulative sum* of V
+    (the causal running context), and each selected query's scores are
+    masked beyond its own position (the ``ProbMask`` the reference imports
+    from the missing ``utils.masking`` module — a latent ImportError there,
+    implemented directly here)."""
     B, H, L_Q, D = q.shape
     L_K = k.shape[2]
 
@@ -49,9 +61,22 @@ def prob_sparse_attention(
     )
     scores = scores * (scale or 1.0 / math.sqrt(D))
 
-    # Initial context: mean of V for every query (``Informer.py:47-56``).
-    v_mean = jnp.mean(v, axis=-2, keepdims=True)  # (B, H, 1, D)
-    context = jnp.broadcast_to(v_mean, (B, H, L_Q, D)).astype(v.dtype)
+    if mask_flag:
+        if L_Q != L_K:
+            raise ValueError(
+                "masked ProbSparse attention requires L_Q == L_K "
+                f"(self-attention only), got {L_Q} != {L_K}"
+            )
+        # causal running context (``SelfAttention_Family.py:84-86``)
+        context = jnp.cumsum(v, axis=-2).astype(v.dtype)
+        # ProbMask: for each selected query row, mask keys beyond its own
+        # original position
+        causal = jnp.arange(L_K)[None, None, None, :] > m_top[..., None]
+        scores = jnp.where(causal, -jnp.inf, scores)
+    else:
+        # mean-of-values context for every query (``Informer.py:47-56``)
+        v_mean = jnp.mean(v, axis=-2, keepdims=True)  # (B, H, 1, D)
+        context = jnp.broadcast_to(v_mean, (B, H, L_Q, D)).astype(v.dtype)
 
     attn = jax.nn.softmax(scores, axis=-1)
     top_ctx = jnp.einsum(
