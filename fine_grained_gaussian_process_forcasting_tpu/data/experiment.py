@@ -76,4 +76,11 @@ class ExperimentConfig:
         return os.path.join(self.data_folder, _CSV_MAP[self.experiment])
 
     def make_data_formatter(self):
+        if self.experiment not in _FORMATTERS:
+            raise ValueError(
+                f"experiment {self.experiment!r} has a download/ETL handler "
+                "but no data formatter — the reference defines none either "
+                "(its make_data_formatter map at data_loader.py:75-94 omits "
+                f"it). Formatters exist for: {sorted(_FORMATTERS)}."
+            )
         return _FORMATTERS[self.experiment](self.pred_len)

@@ -77,6 +77,28 @@ def make_synthetic_frame(
             }
         elif experiment == "watershed":
             cols = dict(base, Conductivity=target, Q=np.abs(_series(rng, n, period=24)))
+        elif experiment == "weather":
+            # bgc-jena roof schema (download.download_weather output)
+            cols = dict(
+                base,
+                **{
+                    "T (degC)": _series(rng, n, period=24) * 8 + 10,
+                    "p (mbar)": _series(rng, n, period=24) * 5 + 990,
+                    "rh (%)": np.abs(_series(rng, n, period=24)) * 20 + 50,
+                },
+                days_from_start=hours // 24,
+            )
+        elif experiment == "ETTm2":
+            # ETT schema: OT target + HUFL/HULL/MUFL/MULL/LUFL/LULL loads
+            cols = dict(base, OT=target, days_from_start=hours // 24)
+            for name in ("HUFL", "HULL", "MUFL", "MULL", "LUFL", "LULL"):
+                cols[name] = _series(rng, n, period=96)
+        elif experiment == "camel":
+            cols = dict(
+                base,
+                streamflow=np.abs(target) * 50,
+                days_from_start=hours // 24,
+            )
         else:
             raise ValueError(f"no synthetic schema for {experiment}")
         frames.append(pd.DataFrame(cols))

@@ -73,6 +73,9 @@ class ForecastDenoising(nn.Module):
     residual: bool = False
     input_corrupt: bool = False
     num_inducing: int = 256
+    gp_hidden_dims: Tuple[int, ...] = ()  # extra deep-GP hidden layers
+    # (the capability the reference's single ToyDeepGPHiddenLayer
+    # generalizes, ``denoising_model/DeepGP.py:76-98``)
     gp_kind: str = "variational"  # 'variational' (reference parity) or
     # 'exact' (stretch config: full-sequence exact GP, Pallas Cholesky)
     use_pallas_gp: bool = False
@@ -115,6 +118,7 @@ class ForecastDenoising(nn.Module):
                 input_dims=d,
                 num_inducing=self.num_inducing,
                 use_pallas=self.use_pallas_gp,
+                hidden_dims=tuple(self.gp_hidden_dims),
             )
         self.proj_up = nn.Dense(d)
         self.norm = nn.LayerNorm(epsilon=1e-5)  # denoiser's (unused) norm kept

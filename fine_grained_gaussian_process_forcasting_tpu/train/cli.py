@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
     parser.add_argument("--num_inducing", type=int, default=256)
+    parser.add_argument("--gp_hidden_dims", type=int, nargs="*", default=[],
+                        help="widths of extra deep-GP hidden layers, e.g. "
+                             "--gp_hidden_dims 8 (1 hidden layer of width 8)")
     parser.add_argument("--gp_kind", type=str, default="variational",
                         choices=["variational", "exact"])
     parser.add_argument("--max_train_samples", type=int, default=None)
@@ -106,6 +109,7 @@ def main(argv=None):
                 out_dir=args.out_dir,
                 use_pallas_gp=args.use_pallas_gp,
                 num_inducing=args.num_inducing,
+                gp_hidden_dims=tuple(args.gp_hidden_dims),
                 gp_kind=args.gp_kind,
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,

@@ -63,6 +63,7 @@ class HarnessArgs:
     out_dir: str = "."
     use_pallas_gp: bool = False
     num_inducing: int = 256
+    gp_hidden_dims: tuple = ()  # extra deep-GP hidden layers
     gp_kind: str = "variational"  # or 'exact' (full-sequence GP stretch)
     # HPO space overrides (reference defaults when None)
     d_model_choices: Tuple[int, ...] = (32, 16)
@@ -157,6 +158,7 @@ class ExperimentHarness:
             residual=self.args.residual,
             input_corrupt=self.input_corrupt,
             num_inducing=self.args.num_inducing,
+            gp_hidden_dims=tuple(self.args.gp_hidden_dims),
             gp_kind=self.args.gp_kind,
             use_pallas_gp=self.args.use_pallas_gp,
         )

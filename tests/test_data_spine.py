@@ -188,3 +188,30 @@ def test_categorical_misalignment_quirk():
         df["categorical_id"].apply(str)[: len(out)])
     np.testing.assert_array_equal(out["categorical_id"].to_numpy(), expected)
     assert (expected[:5] != expected[5]).all()  # the misalignment is real
+
+
+def test_full_etl_registry_surface():
+    """Every reference-registered experiment has a download handler; names
+    without a formatter raise a clear error instead of KeyError
+    (reference data_loader.py:36-94 registers 11 experiments)."""
+    from fine_grained_gaussian_process_forcasting_tpu.data.download import (
+        DOWNLOAD_FUNCTIONS,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.data.experiment import (
+        ExperimentConfig,
+    )
+
+    assert set(ExperimentConfig.default_experiments) == set(DOWNLOAD_FUNCTIONS)
+    for exp in ("weather", "ETTm2", "camel", "favorita"):
+        with pytest.raises(ValueError, match="no data formatter"):
+            ExperimentConfig(96, exp, root_folder=".").make_data_formatter()
+
+
+def test_synthetic_schemas_for_unformatted_experiments(tmp_path):
+    """--synthetic covers weather/ETTm2/camel (the ETL-only experiments)."""
+    for exp, target in (("weather", "T (degC)"), ("ETTm2", "OT"),
+                        ("camel", "streamflow")):
+        df = make_synthetic_frame(exp, num_entities=2, steps_per_entity=50)
+        assert target in df.columns, (exp, df.columns)
+        assert {"id", "categorical_id", "day_of_week"} <= set(df.columns)
+        assert len(df) == 100

@@ -182,3 +182,36 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     s2, l2, m2 = trainer.train_epoch(restored, data)
     assert np.isclose(l1, l2, rtol=1e-5), (l1, l2)
     assert np.isclose(m1, m2, rtol=1e-5)
+
+
+def test_multilayer_gp_composite_end_to_end():
+    """gp_hidden_dims reaches the DeepGP through the composite: a 1-hidden-
+    layer deep-GP blur trains one step with finite loss and grads, and the
+    param tree contains the extra layer (BASELINE config 4 capability)."""
+    import optax
+    from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
+        ForecastDenoising,
+    )
+
+    model = ForecastDenoising(
+        src_input_size=3, tgt_input_size=3, d_model=8, n_heads=2, d_k=4,
+        stack_size=1, pred_len=4, attn_type="basic", gp=True, denoise=True,
+        num_inducing=8, gp_hidden_dims=(4,))
+    rng = jax.random.PRNGKey(0)
+    enc = jax.random.normal(rng, (2, 12, 3))
+    dec = jax.random.normal(rng, (2, 4, 3))
+    y = jax.random.normal(rng, (2, 4, 1))
+    variables = model.init({"params": rng, "noise": rng, "sampling": rng},
+                           enc, dec, y, training=True)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("hidden0" in n or "layer0" in n for n in names), sorted(names)[:20]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, enc, dec, y, training=True,
+                           rngs={"noise": rng, "sampling": rng}).loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2)
+                         for g in jax.tree_util.tree_leaves(grads)))
+    assert bool(jnp.isfinite(loss)) and bool(jnp.isfinite(gnorm))
