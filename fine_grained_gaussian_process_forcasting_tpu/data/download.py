@@ -559,6 +559,8 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="write a schema-matching synthetic csv instead "
                              "of downloading (offline environments)")
+    parser.add_argument("--synthetic_noise", type=str, default="iid",
+                        choices=["iid", "ar1", "gp"])
     args = parser.parse_args(argv)
 
     config = ExperimentConfig(experiment=args.expt_name,
@@ -573,7 +575,8 @@ def main(argv=None):
         )
 
         frame = make_synthetic_frame(args.expt_name, num_entities=8,
-                                     steps_per_entity=2000)
+                                     steps_per_entity=2000,
+                                     noise=args.synthetic_noise)
         frame.to_csv(config.data_csv_path, index=False)
         print(f"Wrote synthetic {config.data_csv_path}")
         return config.data_csv_path

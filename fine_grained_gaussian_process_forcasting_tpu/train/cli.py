@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--out_dir", type=str, default=".")
     parser.add_argument("--data_csv", type=str, default=None,
                         help="path to the dataset csv ({exp_name}.csv default)")
+    parser.add_argument("--synthetic_noise", type=str, default="iid",
+                        choices=["iid", "ar1", "gp"],
+                        help="corruption structure of the synthetic target "
+                             "(ar1/gp give the GP blur model correlated "
+                             "noise to learn)")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
@@ -79,7 +84,8 @@ def main(argv=None):
 
     if args.synthetic:
         raw_data = make_synthetic_frame(args.exp_name, num_entities=8,
-                                        steps_per_entity=1600, seed=0)
+                                        steps_per_entity=1600, seed=0,
+                                        noise=args.synthetic_noise)
     else:
         csv_path = args.data_csv or f"{args.exp_name}.csv"
         raw_data = pd.read_csv(csv_path, dtype={"date": str})

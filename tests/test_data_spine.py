@@ -215,3 +215,21 @@ def test_synthetic_schemas_for_unformatted_experiments(tmp_path):
         assert target in df.columns, (exp, df.columns)
         assert {"id", "categorical_id", "day_of_week"} <= set(df.columns)
         assert len(df) == 100
+
+
+def test_structured_synthetic_noise():
+    """ar1/gp noise kinds are temporally correlated; iid is not."""
+    from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
+        _noise,
+    )
+
+    rng = np.random.default_rng(0)
+    acs = {}
+    for kind in ("iid", "ar1", "gp"):
+        eps = _noise(np.random.default_rng(0), 20000, kind)
+        acs[kind] = float(np.corrcoef(eps[:-1], eps[1:])[0, 1])
+        # roughly unit scale relative to the requested 0.3
+        assert 0.15 < eps.std() < 0.45, (kind, eps.std())
+    assert abs(acs["iid"]) < 0.05, acs
+    assert acs["ar1"] > 0.85, acs
+    assert acs["gp"] > 0.95, acs
