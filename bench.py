@@ -26,7 +26,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_torch_baseline.json")
 
 
-def bench_jax(steps: int = 30) -> float:
+def bench_jax(steps: int = 30, bf16: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -46,6 +46,8 @@ def bench_jax(steps: int = 30) -> float:
         src_input_size=F, tgt_input_size=F, d_model=D_MODEL, n_heads=HEADS,
         d_k=D_MODEL // HEADS, stack_size=LAYERS, pred_len=PRED,
         attn_type="autoformer", gp=True, denoise=True, num_inducing=INDUCING,
+        compute_dtype=jnp.bfloat16 if bf16 else None,
+        gp_compute_dtype=jnp.bfloat16 if bf16 else None,
     )
     rng = jax.random.PRNGKey(0)
     enc = jax.random.normal(rng, (B, ENC_LEN, F))
@@ -82,15 +84,66 @@ def bench_jax(steps: int = 30) -> float:
                                          length=steps)
         return p, s, r, losses
 
-    params, opt_state, rng, losses = run(params, opt_state, rng)  # compile
+    lowered = run.lower(params, opt_state, rng)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", float("nan"))) / steps
+    except Exception:
+        step_flops = float("nan")
+    params, opt_state, rng, losses = compiled(params, opt_state, rng)
     jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    params, opt_state, rng, losses = run(params, opt_state, rng)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, rng, losses = compiled(params, opt_state, rng)
+        jax.block_until_ready(losses)
+        best = min(best, time.perf_counter() - t0)
     losses = np.asarray(losses)
     assert np.isfinite(losses).all(), "non-finite loss in bench"
-    return steps / dt
+    sec_per_step = best / steps
+    return {
+        "steps_per_sec": steps / best,
+        "step_tflops": step_flops / sec_per_step / 1e12,
+    }
+
+
+def bench_gp_segment(bf16: bool = False, iters: int = 50) -> dict:
+    """Isolated GP kernel+Cholesky+whitened-solve segment (fwd+grad) at the
+    flagship's shapes — the BASELINE.json 'GP kernel+Cholesky TFLOP/s'
+    metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from fine_grained_gaussian_process_forcasting_tpu.gp.deep_gp import DeepGP
+
+    gp = DeepGP(input_dims=D_MODEL, num_inducing=INDUCING,
+                compute_dtype=jnp.bfloat16 if bf16 else None)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (B, ENC_LEN + DEC_LEN, D_MODEL))
+    params = jax.jit(gp.init)(jax.random.PRNGKey(0), x)["params"]
+
+    def gp_loss(p, xx):
+        post = gp.apply({"params": p}, xx)
+        return jnp.sum(post.mean) + jnp.sum(post.var) + post.kl
+
+    step = jax.jit(jax.value_and_grad(gp_loss))
+    compiled = step.lower(params, x).compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    out = compiled(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(params, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "tflops": flops / dt / 1e12, "gflops": flops / 1e9}
 
 
 def bench_torch(steps: int = 2) -> float:
@@ -258,8 +311,14 @@ def bench_torch(steps: int = 2) -> float:
     return steps / dt
 
 
+_V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e published bf16 peak per chip
+
+
 def main():
-    jax_sps = bench_jax()
+    fp32 = bench_jax(bf16=False)
+    bf16 = bench_jax(bf16=True)
+    gp_fp32 = bench_gp_segment(bf16=False)
+    gp_bf16 = bench_gp_segment(bf16=True)
 
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -270,11 +329,21 @@ def main():
             json.dump({"torch_cpu_steps_per_sec": torch_sps,
                        "config": "AutoDG solar b256 enc192 pred96"}, f)
 
+    jax_sps = fp32["steps_per_sec"]
     print(json.dumps({
         "metric": "train_steps_per_sec_AutoDG_b256",
         "value": round(jax_sps, 3),
         "unit": "steps/s",
         "vs_baseline": round(jax_sps / torch_sps, 2),
+        # -- perf detail (BASELINE.json MXU/TFLOP targets) ---------------- #
+        "bf16_steps_per_sec": round(bf16["steps_per_sec"], 3),
+        "step_tflops": round(fp32["step_tflops"], 3),
+        "gp_segment_ms": round(gp_fp32["ms"], 3),
+        "gp_segment_tflops": round(gp_fp32["tflops"], 3),
+        "gp_segment_tflops_bf16": round(gp_bf16["tflops"], 3),
+        "gp_segment_gflops": round(gp_fp32["gflops"], 2),
+        "gp_mxu_util_pct_of_bf16_peak": round(
+            100 * gp_bf16["tflops"] / _V5E_BF16_PEAK_TFLOPS, 2),
     }))
 
 

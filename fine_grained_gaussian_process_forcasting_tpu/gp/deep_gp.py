@@ -72,6 +72,9 @@ class _VariationalLayer(nn.Module):
     output_dims: Optional[int] = None
     num_inducing: int = 256
     use_pallas: bool = False
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 runs the two heavy
+    # GEMMs (cross-covariance inner product, whitened solve) at the MXU's
+    # native rate with fp32 accumulation; params/Cholesky/exp stay fp32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -110,9 +113,17 @@ class _VariationalLayer(nn.Module):
 
                 kzx = rbf_cross_kernel(x, inducing, lengthscale, outputscale)
             else:
-                kzx = rbf_ard(x, inducing, lengthscale, outputscale)
-            a = jnp.einsum("mk,...nk->...nm", chol_inv, kzx,
-                           preferred_element_type=jnp.float32)
+                kzx = rbf_ard(x, inducing, lengthscale, outputscale,
+                              self.compute_dtype)
+            if self.compute_dtype is not None:
+                a = jnp.einsum(
+                    "mk,...nk->...nm",
+                    chol_inv.astype(self.compute_dtype),
+                    kzx.astype(self.compute_dtype),
+                    preferred_element_type=jnp.float32)
+            else:
+                a = jnp.einsum("mk,...nk->...nm", chol_inv, kzx,
+                               preferred_element_type=jnp.float32)
 
             mean_x = jnp.einsum("...nd,d->...n", x, mean_w) + mean_b
             mean = mean_x + a @ var_mean
@@ -149,6 +160,7 @@ class DeepGP(nn.Module):
     num_inducing: int = 256
     use_pallas: bool = False
     hidden_dims: Tuple[int, ...] = ()
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> GPPosterior:
@@ -161,6 +173,7 @@ class DeepGP(nn.Module):
             mean, var, kl = _VariationalLayer(
                 input_dims=in_dims, output_dims=width,
                 num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
                 name=f"hidden_layer{i}",
             )(x)
             total_kl = total_kl + kl
@@ -176,6 +189,7 @@ class DeepGP(nn.Module):
         mean, var, kl = _VariationalLayer(
             input_dims=in_dims, output_dims=None,
             num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
             name="output_layer",
         )(x)
         total_kl = total_kl + kl

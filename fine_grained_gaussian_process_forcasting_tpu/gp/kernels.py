@@ -21,14 +21,22 @@ def softplus(x):
     return jax.nn.softplus(x)
 
 
-def sq_dist(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+def sq_dist(x: jnp.ndarray, z: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """Pairwise squared Euclidean distance.
 
     x: (..., N, d), z: (M, d) -> (..., N, M).  Computed as
     |x|^2 + |z|^2 - 2 x.z so the inner product rides the MXU.
+    ``compute_dtype=bfloat16`` runs the inner-product GEMM at the MXU's
+    native rate with fp32 accumulation (squared norms stay fp32, from the
+    same cast values so the d^2 decomposition remains consistent).
     """
-    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
-    z2 = jnp.sum(z * z, axis=-1)[None, :]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        z = z.astype(compute_dtype)
+    xf = x.astype(jnp.float32)
+    zf = z.astype(jnp.float32)
+    x2 = jnp.sum(xf * xf, axis=-1)[..., :, None]
+    z2 = jnp.sum(zf * zf, axis=-1)[None, :]
     xz = jnp.einsum("...nd,md->...nm", x, z, preferred_element_type=jnp.float32)
     return jnp.maximum(x2 + z2 - 2.0 * xz, 0.0)
 
@@ -38,6 +46,7 @@ def rbf_ard(
     z: jnp.ndarray,
     lengthscale: jnp.ndarray,
     outputscale: jnp.ndarray,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Scaled RBF-ARD cross covariance: outputscale * exp(-0.5 * d^2).
 
@@ -45,7 +54,7 @@ def rbf_ard(
     """
     xs = x / lengthscale
     zs = z / lengthscale
-    return outputscale * jnp.exp(-0.5 * sq_dist(xs, zs))
+    return outputscale * jnp.exp(-0.5 * sq_dist(xs, zs, compute_dtype))
 
 
 def matern_ard(

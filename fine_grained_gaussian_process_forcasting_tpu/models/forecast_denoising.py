@@ -84,6 +84,8 @@ class ForecastDenoising(nn.Module):
     # aggregator now follows the per-call ``training`` argument
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
     # forecaster's matmul path; the GP/losses stay fp32
+    gp_compute_dtype: Optional[jnp.dtype] = None  # bf16 for the GP's two
+    # heavy GEMMs (fp32 accumulation; Cholesky/exp/KL stay fp32)
 
     def setup(self):
         d = self.d_model
@@ -119,6 +121,7 @@ class ForecastDenoising(nn.Module):
                 num_inducing=self.num_inducing,
                 use_pallas=self.use_pallas_gp,
                 hidden_dims=tuple(self.gp_hidden_dims),
+                compute_dtype=self.gp_compute_dtype,
             )
         self.proj_up = nn.Dense(d)
         self.norm = nn.LayerNorm(epsilon=1e-5)  # denoiser's (unused) norm kept

@@ -122,9 +122,23 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dense(self.d_model, name="fed_out")(out.reshape(b, L, -1))
             return nn.Dense(self.d_model, use_bias=False, name="fc")(out)
 
-        q = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype, name="wq")(q_in)
-        k = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype, name="wk")(k_in)
-        v = nn.Dense(d_v * h, use_bias=False, dtype=self.dtype, name="wv")(v_in)
+        if q_in is k_in and k_in is v_in:
+            # Self-attention: one fused QKV GEMM.  At the reference's dims
+            # the separate projections are (., 32)@(32, 32) — N=32 fills a
+            # quarter of the 128-wide MXU lanes; fusing to N=2*h*d_k+h*d_v
+            # triples the useful width per dispatch.
+            qkv = nn.Dense(2 * d_k * h + d_v * h, use_bias=False,
+                           dtype=self.dtype, name="wqkv")(q_in)
+            q = qkv[..., : d_k * h]
+            k = qkv[..., d_k * h : 2 * d_k * h]
+            v = qkv[..., 2 * d_k * h :]
+        else:
+            q = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype,
+                         name="wq")(q_in)
+            k = nn.Dense(d_k * h, use_bias=False, dtype=self.dtype,
+                         name="wk")(k_in)
+            v = nn.Dense(d_v * h, use_bias=False, dtype=self.dtype,
+                         name="wv")(v_in)
 
         def split(x, d):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)

@@ -47,15 +47,27 @@ def prob_sparse_attention(
     u = min(int(factor * math.ceil(math.log(L_Q))), L_Q)
 
     # Sampled scores for the sparsity measure (``Informer.py:21-36``).
+    # TPU re-design: every gather/scatter in this op is reformulated as a
+    # one-hot matmul — row gathers along the sublane dim serialize on TPU,
+    # while the equivalent (selected x L_K) one-hot GEMM rides the MXU.
     index_sample = jax.random.randint(rng, (L_Q, u_part), 0, L_K)
-    k_sample = k[:, :, index_sample, :]  # (B, H, L_Q, u_part, D)
+    onehot_sample = jax.nn.one_hot(index_sample.reshape(-1), L_K,
+                                   dtype=k.dtype)  # (L_Q*u_part, L_K)
+    k_sample = jnp.einsum(
+        "sk,bhkd->bhsd", onehot_sample, k,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, H, L_Q, u_part, D)
     qk_sample = jnp.einsum(
-        "bhqd,bhqkd->bhqk", q, k_sample, preferred_element_type=jnp.float32
+        "bhqd,bhqkd->bhqk", q, k_sample.astype(q.dtype),
+        preferred_element_type=jnp.float32
     )
     m = jnp.max(qk_sample, axis=-1) - jnp.sum(qk_sample, axis=-1) / L_K
     _, m_top = jax.lax.top_k(m, u)  # (B, H, u)
 
-    q_reduce = jnp.take_along_axis(q, m_top[..., None], axis=2)  # (B,H,u,D)
+    onehot_top = jax.nn.one_hot(m_top, L_Q, dtype=q.dtype)  # (B, H, u, L_Q)
+    q_reduce = jnp.einsum(
+        "bhul,bhld->bhud", onehot_top, q, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
     scores = jnp.einsum(
         "bhud,bhkd->bhuk", q_reduce, k, preferred_element_type=jnp.float32
     )
@@ -84,7 +96,13 @@ def prob_sparse_attention(
         preferred_element_type=jnp.float32,
     ).astype(v.dtype)
 
-    bi = jnp.arange(B)[:, None, None]
-    hi = jnp.arange(H)[None, :, None]
-    context = context.at[bi, hi, m_top].set(top_ctx)
+    # Scatter-as-matmul: rows in m_top take top_ctx, the rest keep the
+    # initial context.  (top_k indices are distinct, so the one-hot row
+    # sums are exactly the selected-row indicator.)
+    selected = jnp.einsum("bhul->bhl", onehot_top)  # (B, H, L_Q) in {0,1}
+    scattered = jnp.einsum(
+        "bhul,bhud->bhld", onehot_top, top_ctx,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    context = context * (1.0 - selected[..., None]) + scattered
     return context, None

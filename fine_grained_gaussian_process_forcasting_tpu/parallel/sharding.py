@@ -20,7 +20,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (regex over 'path/to/param', spec) — first match wins.
 _RULES = [
     # attention input projections: (d_model, h*d_k) -> split heads
-    (r".*(wq|wk|wv)/kernel$", P(None, "model")),
+    # (wqkv: the fused self-attention projection; GSPMD reshards the
+    # q/k/v block split as needed, semantics unchanged)
+    (r".*(wq|wk|wv|wqkv)/kernel$", P(None, "model")),
     # attention output projection: (h*d_v, d_model) -> row-parallel
     (r".*/fc/kernel$", P("model", None)),
     # FFN up / down

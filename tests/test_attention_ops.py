@@ -148,3 +148,39 @@ def test_autocorrelation_pow2_fold_exact():
                        np.conj(np.fft.rfft(kt, axis=-1)), n=L, axis=-1)
     np.testing.assert_allclose(np.asarray(mean_corr), ref.mean(axis=(1, 2)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dft_gemm_matches_fft_reference():
+    """The DFT-as-GEMM transforms inside auto_correlation/_delay_aggregate
+    are numerically the exact circular-L FFT pipeline (tight tolerance,
+    independent jnp.fft reference)."""
+    from fine_grained_gaussian_process_forcasting_tpu.ops.autocorrelation import (
+        _delay_aggregate,
+        auto_correlation,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, L, d = 3, 2, 192, 4
+    q = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+
+    # corr path: mean over (h, d) of circular cross-correlation via FFT
+    qt = np.asarray(q).transpose(0, 1, 3, 2)
+    kt = np.asarray(k).transpose(0, 1, 3, 2)
+    spec = np.fft.rfft(qt, axis=-1) * np.conj(np.fft.rfft(kt, axis=-1))
+    want_corr = np.fft.irfft(spec.mean(axis=(1, 2)), n=L, axis=-1)
+    _, got_corr = auto_correlation(q, k, v, training=True)
+    np.testing.assert_allclose(np.asarray(got_corr), want_corr,
+                               rtol=1e-4, atol=1e-4)
+
+    # aggregation path: weighted circular left-rolls
+    delays = jnp.asarray([3, 17, 100])
+    weights = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32))
+    vt = jnp.asarray(np.asarray(v).transpose(0, 1, 3, 2))
+    got = np.asarray(_delay_aggregate(vt, delays, weights))
+    want = np.zeros_like(got)
+    for i, dl in enumerate([3, 17, 100]):
+        want += np.asarray(weights)[:, i][:, None, None, None] * np.roll(
+            np.asarray(vt), -dl, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
