@@ -165,11 +165,14 @@ class MultiHeadAttention(nn.Module):
             context, _ = prob_sparse_attention(q, k, v, rng)
         elif self.attn_type == "basic":
             if self.use_pallas_attention:
-                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.flash_attention import (
-                    fused_attention,
+                # head-folded kernel: (L, L) scores/probs stay in VMEM and
+                # heads fold into lanes (4x HBM padding instead of the old
+                # fused_attention kernel's 32x)
+                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
+                    head_folded_attention,
                 )
 
-                context = fused_attention(q, k, v)
+                context = head_folded_attention(q, k, v)
             else:
                 context, _ = scaled_dot_attention(q, k, v)
         else:

@@ -191,3 +191,43 @@ def test_small_head_attention_gradients():
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-4)
+
+
+def test_head_folded_attention_matches_reference():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
+        scaled_dot_attention,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
+        head_folded_attention,
+    )
+
+    rng = np.random.default_rng(5)
+    b, h, lq, lk, d = 2, 8, 24, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)).astype(np.float32))
+    got = head_folded_attention(q, k, v)
+    want, _ = scaled_dot_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_head_folded_attention_gradients():
+    from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
+        scaled_dot_attention,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
+        head_folded_attention,
+    )
+
+    rng = np.random.default_rng(6)
+    b, h, l, d = 2, 4, 16, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        jnp.sin(head_folded_attention(q, k, v))), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(
+        jnp.sin(scaled_dot_attention(q, k, v)[0])), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
