@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_epochs", type=int, default=50)
     parser.add_argument("--pred_len", type=int, nargs="+", default=[96])
     parser.add_argument("--n_seeds", type=int, default=3)
+    parser.add_argument("--multiseed", type=_str2bool, default="False",
+                        help="train all n_seeds as one vmapped dispatch "
+                             "(same per-seed results; one study instead "
+                             "of n_seeds sequential ones)")
     parser.add_argument("--backbone", type=str, default="transformer")
     parser.add_argument("--out_dir", type=str, default=".")
     parser.add_argument("--data_csv", type=str, default=None,
@@ -93,8 +97,10 @@ def main(argv=None):
     random.seed(1234)
     seeds = [random.randint(1000, 9999) for _ in range(args.n_seeds)]
     results = []
-    for seed in seeds:
+    seed_groups = [seeds] if args.multiseed else [[s] for s in seeds]
+    for seed_group in seed_groups:
         for pred_len in args.pred_len:
+            seed = seed_group[0]
             # iso == denoising without GP and without no_noise
             gp = args.gp and not args.iso
             hargs = HarnessArgs(
@@ -120,14 +126,23 @@ def main(argv=None):
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,
             )
-            harness = ExperimentHarness(raw_data, hargs)
+            if args.multiseed:
+                from fine_grained_gaussian_process_forcasting_tpu.train.harness import (
+                    MultiSeedExperimentHarness,
+                )
+
+                harness = MultiSeedExperimentHarness(raw_data, hargs,
+                                                     seeds=seed_group)
+            else:
+                harness = ExperimentHarness(raw_data, hargs)
             from fine_grained_gaussian_process_forcasting_tpu.train.observability import (
                 profile_trace,
             )
 
             with profile_trace(args.profile_dir):
                 harness.run_study()
-            results.append(harness.evaluate())
+            res = harness.evaluate()
+            results.extend(res if isinstance(res, list) else [res])
     return results
 
 

@@ -278,3 +278,105 @@ class ExperimentHarness:
         df.to_csv(error_path)
         return {"mse": float(mse_all.mean()), "mae": float(mae_all.mean()),
                 "errors": errors}
+
+
+class MultiSeedExperimentHarness(ExperimentHarness):
+    """Trains the reference's N-seed protocol (``train.py:266-280``) as ONE
+    vmapped dispatch per epoch instead of N sequential studies.
+
+    Semantics match N sequential :class:`ExperimentHarness` runs with
+    per-seed keys ``PRNGKey(seed + trial.number)`` (the vmap-vs-sequential
+    equivalence is pinned by ``tests/test_multiseed.py``); on TPU the
+    replicated GEMMs fill the chip the reference's tiny dims leave idle.
+    """
+
+    def __init__(self, raw_data: pd.DataFrame, args: HarnessArgs, seeds,
+                 mesh=None):
+        self.seeds = tuple(int(s) for s in seeds)
+        super().__init__(raw_data, args, mesh=mesh)
+        n = len(self.seeds)
+        self.best_val_seed = [1e10] * n
+        self.best_params_seed = [None] * n
+        self.best_config_seed = [None] * n
+
+    def _name_for_seed(self, seed: int) -> str:
+        args = self.args
+        return "{}_{}_{}_{}{}{}{}{}{}{}".format(
+            args.model_name, args.exp_name, args.pred_len, seed,
+            "_denoise" if self.denoising else "",
+            "_gp" if self.gp else "",
+            "_predictions" if args.no_noise else "",
+            "_iso" if args.iso else "",
+            "_residual" if args.residual else "",
+            "_input_corrupt" if self.input_corrupt else "",
+        )
+
+    def objective(self, trial: hpo.Trial) -> float:
+        from fine_grained_gaussian_process_forcasting_tpu.train.multiseed import (
+            MultiSeedTrainer,
+        )
+
+        args = self.args
+        d_model = trial.suggest_categorical("d_model", list(args.d_model_choices))
+        w_steps = trial.suggest_categorical("w_steps", list(args.w_steps_choices))
+        stack_size = trial.suggest_categorical("stack_size", list(args.stack_choices))
+
+        model = self._make_model(d_model, stack_size)
+        trainer = MultiSeedTrainer(model, d_model=d_model,
+                                   n_seeds=len(self.seeds),
+                                   warmup_steps=w_steps)
+
+        train_dev = tuple(jax.device_put(a) for a in (
+            self.train_data.enc, self.train_data.dec, self.train_data.y))
+        valid_dev = tuple(jax.device_put(a) for a in (
+            self.valid_data.enc, self.valid_data.dec, self.valid_data.y))
+
+        state = trainer.init_state(
+            [s + trial.number for s in self.seeds],
+            self.train_data.enc[0], self.train_data.dec[0],
+            self.train_data.y[0],
+        )
+
+        val_best = np.full(len(self.seeds), 1e10)
+        curves_train, curves_valid = [], []
+        for epoch in range(args.num_epochs):
+            state, loss, mse = trainer.train_epoch(state, train_dev)
+            v_loss, v_mse, _ = trainer.eval_epoch(state, valid_dev)
+            curves_train.append(mse)
+            curves_valid.append(v_mse)
+            if epoch % 5 == 0:
+                print(f"Train epoch: {epoch}, loss: "
+                      + " ".join(f"{x:.4f}" for x in loss))
+                print("val loss: " + " ".join(f"{x:.4f}" for x in v_loss))
+            improved = v_loss < val_best
+            val_best = np.minimum(val_best, v_loss)
+            for i in np.flatnonzero(improved):
+                if v_loss[i] < self.best_val_seed[i]:
+                    self.best_val_seed[i] = float(v_loss[i])
+                    self.best_params_seed[i] = jax.device_get(
+                        trainer.seed_params(state, int(i)))
+                    self.best_config_seed[i] = (d_model, stack_size)
+                    save_checkpoint(self.model_path,
+                                    self._name_for_seed(self.seeds[i]),
+                                    self.best_params_seed[i])
+
+        losses_dir = os.path.join(args.out_dir, "losses_lists")
+        os.makedirs(losses_dir, exist_ok=True)
+        for i, seed in enumerate(self.seeds):
+            name = self._name_for_seed(seed)
+            np.save(os.path.join(losses_dir, f"{name}_mse_losses_train.npy"),
+                    np.asarray(curves_train)[:, i])
+            np.save(os.path.join(losses_dir, f"{name}_mse_losses_valid.npy"),
+                    np.asarray(curves_valid)[:, i])
+        return float(val_best.mean())
+
+    def evaluate(self) -> list:
+        """Per-seed evaluation via the single-seed machinery."""
+        results = []
+        for i, seed in enumerate(self.seeds):
+            assert self.best_params_seed[i] is not None, "run_study first"
+            self.best_params = self.best_params_seed[i]
+            self.best_config = self.best_config_seed[i]
+            self.model_name = self._name_for_seed(seed)
+            results.append(super().evaluate())
+        return results

@@ -78,3 +78,66 @@ def test_multiseed_eval_and_divergence():
     eloss, emse, preds = ms.eval_epoch(state, data)
     assert eloss.shape == (3,) and emse.shape == (3,)
     assert preds.shape[:2] == (3, 3) or preds.shape[1] == 3  # (nb, seeds, ...)
+
+
+def test_multiseed_harness_matches_sequential_harness(tmp_path):
+    """MultiSeedExperimentHarness == N sequential ExperimentHarness runs
+    (same per-seed keys -> same eval MSE), with per-seed artifacts."""
+    import os
+
+    from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
+        make_synthetic_frame,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.data.window import (
+        BatchedSplit,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.train.harness import (
+        ExperimentHarness,
+        HarnessArgs,
+        MultiSeedExperimentHarness,
+    )
+
+    raw = make_synthetic_frame("solar", num_entities=3, steps_per_entity=500,
+                               seed=1)
+    seeds = [11, 23]
+
+    def shrink(split, n=2, bs=16):
+        return BatchedSplit(enc=split.enc[:n, :bs], dec=split.dec[:n, :bs],
+                            y=split.y[:n, :bs])
+
+    def make_args(seed, sub):
+        return HarnessArgs(
+            exp_name="solar", model_name="ATA_ms", attn_type="basic",
+            pred_len=24, seed=seed, n_trials=1, num_epochs=2,
+            denoising=True, gp=True, num_inducing=8,
+            out_dir=str(tmp_path / sub),
+            d_model_choices=(16,), stack_choices=(1,),
+            w_steps_choices=(100,),
+        )
+
+    ms = MultiSeedExperimentHarness(raw, make_args(seeds[0], "ms"),
+                                    seeds=seeds)
+    ms.train_data = shrink(ms.train_data)
+    ms.valid_data = shrink(ms.valid_data)
+    ms.test_data = shrink(ms.test_data)
+    ms.run_study()
+    ms_results = ms.evaluate()
+    assert len(ms_results) == 2
+
+    for i, seed in enumerate(seeds):
+        single = ExperimentHarness(raw, make_args(seed, f"seq{seed}"))
+        single.train_data = shrink(single.train_data)
+        single.valid_data = shrink(single.valid_data)
+        single.test_data = shrink(single.test_data)
+        single.run_study()
+        res = single.evaluate()
+        np.testing.assert_allclose(ms_results[i]["mse"], res["mse"],
+                                   rtol=2e-4, atol=2e-5)
+        # per-seed checkpoint + curves on disk
+        name = ms._name_for_seed(seed)
+        assert any(name in e.name for e in
+                   os.scandir(os.path.join(str(tmp_path / "ms"),
+                                           "models_solar_24")))
+        assert os.path.exists(os.path.join(
+            str(tmp_path / "ms"), "losses_lists",
+            f"{name}_mse_losses_valid.npy"))
