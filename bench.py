@@ -26,7 +26,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_torch_baseline.json")
 
 
-def bench_jax(steps: int = 30, bf16: bool = False) -> dict:
+def bench_jax(steps: int = 30, bf16: bool = False,
+              fused: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -48,6 +49,7 @@ def bench_jax(steps: int = 30, bf16: bool = False) -> dict:
         attn_type="autoformer", gp=True, denoise=True, num_inducing=INDUCING,
         compute_dtype=jnp.bfloat16 if bf16 else None,
         gp_compute_dtype=jnp.bfloat16 if bf16 else None,
+        use_fused_gp=fused,
     )
     rng = jax.random.PRNGKey(0)
     enc = jax.random.normal(rng, (B, ENC_LEN, F))
@@ -87,9 +89,12 @@ def bench_jax(steps: int = 30, bf16: bool = False) -> dict:
     lowered = run.lower(params, opt_state, rng)
     compiled = lowered.compile()
     try:
-        ca = compiled.cost_analysis()
+        # FLOPs from an UNSCANNED single-step lowering: XLA's cost
+        # analysis counts a scan body once regardless of trip count
+        one = jax.jit(lambda p, s, r: train_step((p, s, r), None))
+        ca = one.lower(params, opt_state, rng).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca.get("flops", float("nan"))) / steps
+        step_flops = float(ca.get("flops", float("nan")))
     except Exception:
         step_flops = float("nan")
     params, opt_state, rng, losses = compiled(params, opt_state, rng)
@@ -109,7 +114,8 @@ def bench_jax(steps: int = 30, bf16: bool = False) -> dict:
     }
 
 
-def bench_gp_segment(bf16: bool = False, iters: int = 50) -> dict:
+def bench_gp_segment(bf16: bool = False, iters: int = 50,
+                     fused: bool = False, flops_ref: float = None) -> dict:
     """Isolated GP kernel+Cholesky+whitened-solve segment (fwd+grad) at the
     flagship's shapes — the BASELINE.json 'GP kernel+Cholesky TFLOP/s'
     metric."""
@@ -119,7 +125,8 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50) -> dict:
     from fine_grained_gaussian_process_forcasting_tpu.gp.deep_gp import DeepGP
 
     gp = DeepGP(input_dims=D_MODEL, num_inducing=INDUCING,
-                compute_dtype=jnp.bfloat16 if bf16 else None)
+                compute_dtype=jnp.bfloat16 if bf16 else None,
+                use_fused=fused)
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (B, ENC_LEN + DEC_LEN, D_MODEL))
     params = jax.jit(gp.init)(jax.random.PRNGKey(0), x)["params"]
@@ -128,21 +135,47 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50) -> dict:
         post = gp.apply({"params": p}, xx)
         return jnp.sum(post.mean) + jnp.sum(post.var) + post.kl
 
-    step = jax.jit(jax.value_and_grad(gp_loss))
-    compiled = step.lower(params, x).compile()
+    grad_fn = jax.value_and_grad(gp_loss)
+
+    # scan `iters` fwd+grad evaluations inside ONE jit: per-dispatch tunnel
+    # overhead and client pipelining otherwise dominate at these ~0.1-1 ms
+    # kernel durations and produce physically impossible TFLOP/s
+    def seg_step(carry, _):
+        acc, xx = carry
+        loss, grads = grad_fn(params, xx + 1e-12 * acc)
+        acc = acc + loss + sum(jnp.sum(g) for g in
+                               jax.tree_util.tree_leaves(grads))
+        return (acc, xx), loss
+
+    @jax.jit
+    def run(xx):
+        (acc, _), losses = jax.lax.scan(
+            seg_step, (jnp.zeros(()), xx), None, length=iters)
+        return acc, losses
+
+    compiled = run.lower(x).compile()
     try:
-        ca = compiled.cost_analysis()
+        # FLOPs from an UNSCANNED lowering: XLA's cost analysis counts a
+        # scan body once regardless of trip count
+        ca = jax.jit(grad_fn).lower(params, x).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", float("nan")))
     except Exception:
         flops = float("nan")
-    out = compiled(params, x)
+    if fused and flops_ref is not None:
+        # XLA's cost model cannot see inside the Pallas custom call;
+        # report effective TFLOP/s against the XLA path's FLOP count for
+        # the identical math (apples-to-apples achieved throughput)
+        flops = flops_ref
+    out = compiled(x)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(params, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = compiled(x)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     return {"ms": dt * 1e3, "tflops": flops / dt / 1e12, "gflops": flops / 1e9}
 
 
@@ -319,6 +352,8 @@ def main():
     bf16 = bench_jax(bf16=True)
     gp_fp32 = bench_gp_segment(bf16=False)
     gp_bf16 = bench_gp_segment(bf16=True)
+    gp_fused = bench_gp_segment(fused=True,
+                                flops_ref=gp_fp32["gflops"] * 1e9)
 
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -342,8 +377,11 @@ def main():
         "gp_segment_tflops": round(gp_fp32["tflops"], 3),
         "gp_segment_tflops_bf16": round(gp_bf16["tflops"], 3),
         "gp_segment_gflops": round(gp_fp32["gflops"], 2),
+        "gp_fused_ms": round(gp_fused["ms"], 3),
+        "gp_fused_tflops_eff": round(gp_fused["tflops"], 3),
         "gp_mxu_util_pct_of_bf16_peak": round(
-            100 * gp_bf16["tflops"] / _V5E_BF16_PEAK_TFLOPS, 2),
+            100 * max(gp_bf16["tflops"], gp_fused["tflops"])
+            / _V5E_BF16_PEAK_TFLOPS, 2),
     }))
 
 

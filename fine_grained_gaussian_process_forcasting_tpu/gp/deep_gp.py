@@ -72,6 +72,7 @@ class _VariationalLayer(nn.Module):
     output_dims: Optional[int] = None
     num_inducing: int = 256
     use_pallas: bool = False
+    use_fused: bool = False  # whole-marginal fused Pallas kernel
     compute_dtype: Optional[jnp.dtype] = None  # bf16 runs the two heavy
     # GEMMs (cross-covariance inner product, whitened solve) at the MXU's
     # native rate with fp32 accumulation; params/Cholesky/exp stay fp32
@@ -105,6 +106,38 @@ class _VariationalLayer(nn.Module):
             # Explicit small inverse -> downstream solves become MXU matmuls.
             chol_inv = jax.scipy.linalg.solve_triangular(
                 chol, jnp.eye(m, dtype=kzz.dtype), lower=True)
+
+            if self.use_fused and not h:
+                # Whole-marginal fusion: K and the whitened solve live only
+                # in VMEM (ops/pallas/fused_gp.py).  With
+                # W = L^-T diag(1-s^2) L^-1 and u = L^-T m the (B, N, M)
+                # intermediates of the path below never touch HBM.
+                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas import (
+                    fused_gp,
+                )
+
+                marginals = (fused_gp.whitened_marginals_bf16
+                             if self.compute_dtype is not None
+                             else fused_gp.whitened_marginals)
+                s2 = jnp.exp(2.0 * var_log_std)
+                u = chol_inv.T @ var_mean
+                w_mat = chol_inv.T @ (chol_inv * (1.0 - s2)[:, None])
+                xs = x / lengthscale
+                zsc = inducing / lengthscale
+                squeeze = xs.ndim == 2
+                if squeeze:
+                    xs = xs[None]
+                mean_k, var = marginals(
+                    xs.astype(jnp.float32), zsc.astype(jnp.float32),
+                    u, w_mat, outputscale)
+                if squeeze:
+                    mean_k, var = mean_k[0], var[0]
+                mean_x = jnp.einsum("...nd,d->...n", x, mean_w) + mean_b
+                mean = mean_x + mean_k
+                var = jnp.maximum(var, 1e-8)
+                kl = 0.5 * jnp.sum(
+                    s2 + var_mean * var_mean - 1.0 - 2.0 * var_log_std)
+                return mean, var, kl
 
             if self.use_pallas:
                 from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.rbf import (
@@ -159,6 +192,7 @@ class DeepGP(nn.Module):
     input_dims: int
     num_inducing: int = 256
     use_pallas: bool = False
+    use_fused: bool = False
     hidden_dims: Tuple[int, ...] = ()
     compute_dtype: Optional[jnp.dtype] = None
 
@@ -173,6 +207,7 @@ class DeepGP(nn.Module):
             mean, var, kl = _VariationalLayer(
                 input_dims=in_dims, output_dims=width,
                 num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+                use_fused=self.use_fused,
                 compute_dtype=self.compute_dtype,
                 name=f"hidden_layer{i}",
             )(x)
@@ -189,6 +224,7 @@ class DeepGP(nn.Module):
         mean, var, kl = _VariationalLayer(
             input_dims=in_dims, output_dims=None,
             num_inducing=self.num_inducing, use_pallas=self.use_pallas,
+            use_fused=self.use_fused,
             compute_dtype=self.compute_dtype,
             name="output_layer",
         )(x)

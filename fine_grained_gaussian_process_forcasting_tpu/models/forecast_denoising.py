@@ -79,6 +79,9 @@ class ForecastDenoising(nn.Module):
     gp_kind: str = "variational"  # 'variational' (reference parity) or
     # 'exact' (stretch config: full-sequence exact GP, Pallas Cholesky)
     use_pallas_gp: bool = False
+    use_fused_gp: bool = True  # whole-marginal fused Pallas GP kernel
+    # (ops/pallas/fused_gp.py); A/B-verified faster than the XLA path on
+    # TPU at the flagship shapes, numerically pinned by tests/test_gp.py
     use_pallas_attention: bool = False
     deterministic: bool = True  # retained static flag; the autocorrelation
     # aggregator now follows the per-call ``training`` argument
@@ -120,6 +123,7 @@ class ForecastDenoising(nn.Module):
                 input_dims=d,
                 num_inducing=self.num_inducing,
                 use_pallas=self.use_pallas_gp,
+                use_fused=self.use_fused_gp,
                 hidden_dims=tuple(self.gp_hidden_dims),
                 compute_dtype=self.gp_compute_dtype,
             )

@@ -1,0 +1,248 @@
+"""Fused whitened-GP marginals: the variational blur's hot path as ONE
+VMEM-resident Pallas kernel.
+
+The XLA path of ``gp/deep_gp.py`` materializes two (B, N, M) tensors in
+HBM per forward — the cross-covariance ``kzx`` and the whitened solve
+``a = kzx @ L^-T`` (~100 MB each at the flagship's B=256, N=384, M=256)
+— and reads them back for three reductions; the backward doubles that.
+bench.py measured the segment HBM-bandwidth-bound at ~21 TFLOP/s fp32
+(NOTES.md "MXU ceiling").
+
+This kernel removes that traffic algebraically.  With
+
+    W = L^-T diag(1 - s^2) L^-1        (M x M, precomputed per step)
+    u = L^-T m                         (M,)
+
+the whitened marginals (``deep_gp.py`` module docstring) collapse to
+
+    mean_k[r] = sum_m K[r, m] u[m]
+    var[r]    = outputscale - sum_m (K @ W)[r, m] * K[r, m]
+
+Every input point sees the SAME inducing set, so the (B, N) points
+flatten into one row axis tiled at ``_TR`` rows per grid cell — each cell
+is a (TR x d)(d x M) + (TR x M)(M x M) GEMM pair with K and K@W living
+only in VMEM; HBM sees x in and two (R,) vectors out.  Rows are zero-
+padded to a tile multiple: padded rows produce garbage marginals that are
+sliced off, and zero cotangents (the bwd pads dmean/dvar with zeros)
+erase their parameter-gradient contributions exactly.
+
+The backward recomputes K per tile (flash-attention-style
+rematerialization) and accumulates the small parameter cotangents
+(dzs, du, dW, dos) across the sequential TPU grid:
+
+    dK  = dmean u^T - 2 dvar (K @ W)        (W symmetric)
+    dxs = E @ zs - rowsum(E) * xs           (E = dK * K)
+    dzs = E^T @ xs - colsum(E) * zs
+    du  = K^T dmean
+    dW  = - K^T diag(dvar) K
+    dos = sum(E) / os + sum(dvar)
+
+Replaces the gpytorch ``VariationalStrategy`` hot path the reference
+reaches through ``denoising_model/DeepGP.py:51-54``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TR = 1024  # rows (flattened batch x points) per grid cell
+
+
+def _dot16(a, b, bf16):
+    """MXU dot with optional bf16 inputs (fp32 accumulation either way)."""
+    if bf16:
+        a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, mean_ref,
+                var_ref):
+    os_ = os_ref[0, 0]
+    x = xs_ref[:]  # (TR, d), pre-scaled by 1/lengthscale
+    z = zs_ref[:]  # (M, d)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (TR, 1)
+    z2 = jnp.sum(z * z, axis=-1, keepdims=True)  # (M, 1)
+    # the distance GEMM stays fp32: exp() amplifies rounding in d2
+    d2 = x2 + z2.T - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    k = os_ * jnp.exp(-0.5 * d2)  # (TR, M)
+    g = _dot16(k, w_ref[:], bf16)  # (TR, M) — the dominant GEMM
+    mean_ref[0, 0, :] = jnp.sum(k * u_ref[:], axis=-1)
+    var_ref[0, 0, :] = os_ - jnp.sum(g * k, axis=-1)
+
+
+def _bwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, dmean_ref,
+                dvar_ref, dxs_ref, dzs_ref, du_ref, dw_ref, dos_ref):
+    os_ = os_ref[0, 0]
+    x = xs_ref[:]
+    z = zs_ref[:]
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    z2 = jnp.sum(z * z, axis=-1, keepdims=True)
+    d2 = x2 + z2.T - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32)
+    k = os_ * jnp.exp(-0.5 * d2)  # recomputed, never in HBM
+    g = _dot16(k, w_ref[:], bf16)
+
+    dm = dmean_ref[0, 0][:, None]  # (TR, 1)
+    dv = dvar_ref[0, 0][:, None]  # (TR, 1)
+    dk = dm * u_ref[:] - 2.0 * dv * g  # (TR, M)
+    e = dk * k
+
+    dxs_ref[:] = (jnp.dot(e, z, preferred_element_type=jnp.float32)
+                  - jnp.sum(e, axis=-1, keepdims=True) * x)
+
+    # parameter cotangents accumulate across the (sequential) TPU grid
+    dzs = (jax.lax.dot_general(e, x, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           - jnp.sum(e, axis=0)[:, None] * z)  # (M, d)
+    du = jnp.sum(k * dm, axis=0)[None, :]  # (1, M)
+    if bf16:
+        k16, dvk16 = (k.astype(jnp.bfloat16),
+                      (dv * k).astype(jnp.bfloat16))
+        dw = -jax.lax.dot_general(k16, dvk16, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    else:
+        dw = -jax.lax.dot_general(k, dv * k, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dos = jnp.sum(e) / os_ + jnp.sum(dv)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dzs_ref[:] = dzs
+        du_ref[:] = du
+        dw_ref[:] = dw
+        dos_ref[0, 0] = dos
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        dzs_ref[:] += dzs
+        du_ref[:] += du
+        dw_ref[:] += dw
+        dos_ref[0, 0] += dos
+
+
+def _row_layout(b, n):
+    """Rows padded to a whole number of _TR tiles (single tile if small)."""
+    r = b * n
+    tr = min(_TR, r)
+    rp = -(-r // tr) * tr
+    return r, rp, tr
+
+
+def _forward(xs, zs, u, w, outputscale, bf16=False):
+    b, n, d = xs.shape
+    m = zs.shape[0]
+    r, rp, tr = _row_layout(b, n)
+    xf = xs.reshape(r, d)
+    if rp != r:
+        xf = jnp.pad(xf, ((0, rp - r), (0, 0)))
+    os2d = jnp.asarray(outputscale, jnp.float32).reshape(1, 1)
+    mean, var = pl.pallas_call(
+        functools.partial(_fwd_kernel, bf16),
+        grid=(rp // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        # (G, 1, tr) blocks: Mosaic requires the last two block dims be
+        # divisible by (8, 128) or equal the array dims — (1, tr) qualifies
+        # only as the trailing dims of a 3-D layout
+        out_specs=[
+            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
+            jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(xf, zs, u.reshape(1, m), w, os2d)
+    return (mean.reshape(rp)[:r].reshape(b, n),
+            var.reshape(rp)[:r].reshape(b, n))
+
+
+def _bwd_rule(bf16, residuals, cotangents):
+    xs, zs, u, w, outputscale = residuals
+    dmean, dvar = cotangents
+    b, n, d = xs.shape
+    m = zs.shape[0]
+    r, rp, tr = _row_layout(b, n)
+    xf = xs.reshape(r, d)
+    dmf = dmean.reshape(r)
+    dvf = dvar.reshape(r)
+    if rp != r:
+        # zero cotangents on padded rows -> zero parameter contributions
+        xf = jnp.pad(xf, ((0, rp - r), (0, 0)))
+        dmf = jnp.pad(dmf, (0, rp - r))
+        dvf = jnp.pad(dvf, (0, rp - r))
+    os2d = jnp.asarray(outputscale, jnp.float32).reshape(1, 1)
+    dxs, dzs, du, dw, dos = pl.pallas_call(
+        functools.partial(_bwd_kernel, bf16),
+        grid=(rp // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, d), jnp.float32),
+            jax.ShapeDtypeStruct((m, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(xf, zs, u.reshape(1, m), w, os2d,
+      dmf.reshape(rp // tr, 1, tr), dvf.reshape(rp // tr, 1, tr))
+    return (dxs[:r].reshape(b, n, d), dzs, du.reshape(m), dw,
+            dos.reshape(()).astype(jnp.asarray(outputscale).dtype))
+
+
+def _make_op(bf16):
+    @jax.custom_vjp
+    def op(xs, zs, u, w, outputscale):
+        return _forward(xs, zs, u, w, outputscale, bf16)
+
+    def fwd_rule(xs, zs, u, w, outputscale):
+        return (_forward(xs, zs, u, w, outputscale, bf16),
+                (xs, zs, u, w, outputscale))
+
+    op.defvjp(fwd_rule, functools.partial(_bwd_rule, bf16))
+    return op
+
+
+#: fp32 everywhere (bit-comparable with the XLA path, tests/test_fused_gp.py)
+whitened_marginals = _make_op(False)
+#: the two dominant (TR, M)(M, M) GEMMs in bf16 inputs / fp32 accumulation
+#: (the distance GEMM and all elementwise math stay fp32) — use via
+#: ``gp_compute_dtype=bfloat16``
+whitened_marginals_bf16 = _make_op(True)
+
+whitened_marginals.__doc__ = """(mean_k, var) of the whitened variational
+GP at pre-scaled inputs.
+
+xs: (B, N, d) = x / lengthscale;  zs: (M, d) = Z / lengthscale;
+u: (M,) = L^-T m;  w: (M, M) = L^-T diag(1-s^2) L^-1;
+outputscale: scalar.  Returns ((B, N), (B, N)).
+"""

@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
+    parser.add_argument("--use_fused_gp", type=_str2bool, default="True",
+                        help="fused whole-marginal Pallas GP kernel")
     parser.add_argument("--num_inducing", type=int, default=256)
     parser.add_argument("--gp_hidden_dims", type=int, nargs="*", default=[],
                         help="widths of extra deep-GP hidden layers, e.g. "
@@ -120,6 +122,7 @@ def main(argv=None):
                 backbone=args.backbone,
                 out_dir=args.out_dir,
                 use_pallas_gp=args.use_pallas_gp,
+                use_fused_gp=args.use_fused_gp,
                 num_inducing=args.num_inducing,
                 gp_hidden_dims=tuple(args.gp_hidden_dims),
                 gp_kind=args.gp_kind,
