@@ -131,5 +131,13 @@ class MultiSeedTrainer:
         return np.asarray(loss), np.asarray(mse), preds
 
     def seed_params(self, state: MultiSeedState, i: int):
-        """Extract one replica's params (e.g. for checkpointing)."""
-        return jax.tree_util.tree_map(lambda x: x[i], state.params)
+        """Extract one replica's params (e.g. for checkpointing).
+
+        Jitted as one dispatch: eager per-leaf slicing compiles ~1 tiny
+        program per leaf (13s for a 129-leaf tree over a remote-TPU
+        tunnel, measured).
+        """
+        if not hasattr(self, "_extract"):
+            self._extract = jax.jit(
+                lambda p, j: jax.tree_util.tree_map(lambda x: x[j], p))
+        return self._extract(state.params, jnp.asarray(i))
