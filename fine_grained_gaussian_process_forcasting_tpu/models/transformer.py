@@ -146,13 +146,15 @@ class MultiHeadAttention(nn.Module):
         q, k, v = split(q, d_k), split(k, d_k), split(v, d_v)
 
         if self.attn_type == "ATA":
-            context, _ = ATAAttention(d_k=d_k, n_heads=h, name="ata")(q, k, v)
+            context, _ = ATAAttention(
+                d_k=d_k, n_heads=h, name="ata",
+                use_pallas_attention=self.use_pallas_attention)(q, k, v)
         elif self.attn_type == "ACAT":
             context, _ = ACATAttention(d_k=d_k, n_heads=h, name="acat")(q, k, v)
         elif self.attn_type == "conv_attn":
-            context, _ = ConvAttnAttention(d_k=d_k, n_heads=h, name="conv_attn")(
-                q, k, v
-            )
+            context, _ = ConvAttnAttention(
+                d_k=d_k, n_heads=h, name="conv_attn",
+                use_pallas_attention=self.use_pallas_attention)(q, k, v)
         elif self.attn_type == "autoformer":
             # batch-shared delay aggregator in training, per-sample in eval
             # (reference model.train()/eval(), ``Autoformer.py:118-121``)

@@ -58,6 +58,18 @@ class BatchStatsNorm(nn.Module):
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
 
 
+def _dot_attention(q, k, v, use_pallas: bool):
+    """Final softmax attention of the conv family; optionally the fused
+    head-folded Pallas kernel (scores/probs never touch HBM)."""
+    if use_pallas:
+        from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
+            head_folded_attention,
+        )
+
+        return head_folded_attention(q, k, v), None
+    return scaled_dot_attention(q, k, v)
+
+
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     """(b, h, l, d) -> (b, l, h*d) for channel-mixing convs."""
     b, h, l, d = x.shape
@@ -79,6 +91,7 @@ class ATAAttention(nn.Module):
     d_k: int
     n_heads: int
     filter_lengths: Sequence[int] = (1, 3, 7, 9)
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, q, k, v) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -98,7 +111,8 @@ class ATAAttention(nn.Module):
         k_scales = pyramid(kc, "k")
         q_top = jnp.max(q_scales, axis=-1)  # top-1 over scales
         k_top = jnp.max(k_scales, axis=-1)
-        return scaled_dot_attention(_split_heads(q_top, h), _split_heads(k_top, h), v)
+        return _dot_attention(_split_heads(q_top, h), _split_heads(k_top, h),
+                              v, self.use_pallas_attention)
 
 
 class ACATAttention(nn.Module):
@@ -162,6 +176,7 @@ class ConvAttnAttention(nn.Module):
     d_k: int
     n_heads: int
     kernel: int = 9
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, q, k, v) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -172,4 +187,5 @@ class ConvAttnAttention(nn.Module):
                      name="conv_q")(qc)
         ks = nn.Conv(c, (self.kernel,), padding="SAME", use_bias=False,
                      name="conv_k")(kc)
-        return scaled_dot_attention(_split_heads(qs, h), _split_heads(ks, h), v)
+        return _dot_attention(_split_heads(qs, h), _split_heads(ks, h), v,
+                              self.use_pallas_attention)

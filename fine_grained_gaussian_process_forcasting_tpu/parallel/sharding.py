@@ -59,3 +59,27 @@ def param_shardings(mesh: Mesh, params) -> Any:
         param_specs(params),
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any) -> Any:
+    """Shardings for an optax state, co-located with the params.
+
+    Any subtree structurally identical to ``params`` (adam's mu/nu moment
+    trees) gets the param shardings so optimizer updates never reshard;
+    every other leaf (step counts, empty states) is replicated.
+    """
+    p_treedef = jax.tree_util.tree_structure(params)
+    p_shards = param_shardings(mesh, params)
+    rep = NamedSharding(mesh, P())
+
+    def walk(node):
+        if jax.tree_util.tree_structure(node) == p_treedef:
+            return p_shards
+        if hasattr(node, "_fields"):  # optax NamedTuple states
+            return type(node)(*(walk(getattr(node, f)) for f in node._fields))
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(c) for c in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return rep
+    return walk(opt_state)

@@ -77,6 +77,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_valid_samples", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the study")
+    parser.add_argument("--d_model_choices", type=int, nargs="+",
+                        default=[32, 16],
+                        help="HPO grid for d_model (reference {32,16})")
+    parser.add_argument("--stack_choices", type=int, nargs="+",
+                        default=[1, 3],
+                        help="HPO grid for stack_size (reference {1,3})")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel device count: shard the batch "
+                             "dim over a 'data' mesh axis (0 = no mesh, "
+                             "single device)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel device count: megatron-style "
+                             "QKV/FFN param shardings over a 'model' mesh "
+                             "axis (requires --dp >= 1 to build the mesh)")
     return parser
 
 
@@ -95,6 +109,21 @@ def main(argv=None):
     else:
         csv_path = args.data_csv or f"{args.exp_name}.csv"
         raw_data = pd.read_csv(csv_path, dtype={"date": str})
+
+    mesh = None
+    if args.dp > 0 or args.tp > 1:
+        from fine_grained_gaussian_process_forcasting_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        if args.multiseed:
+            raise SystemExit(
+                "--multiseed and --dp/--tp are mutually exclusive: the "
+                "multiseed trainer fills the chip with the seed axis; use "
+                "mesh parallelism for per-seed studies instead"
+            )
+        mesh = make_mesh(n_data=max(args.dp, 1), n_model=args.tp)
+        print(f"mesh: {mesh.shape}")
 
     random.seed(1234)
     seeds = [random.randint(1000, 9999) for _ in range(args.n_seeds)]
@@ -128,6 +157,8 @@ def main(argv=None):
                 gp_kind=args.gp_kind,
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,
+                d_model_choices=tuple(args.d_model_choices),
+                stack_choices=tuple(args.stack_choices),
             )
             if args.multiseed:
                 from fine_grained_gaussian_process_forcasting_tpu.train.harness import (
@@ -137,7 +168,7 @@ def main(argv=None):
                 harness = MultiSeedExperimentHarness(raw_data, hargs,
                                                      seeds=seed_group)
             else:
-                harness = ExperimentHarness(raw_data, hargs)
+                harness = ExperimentHarness(raw_data, hargs, mesh=mesh)
             from fine_grained_gaussian_process_forcasting_tpu.train.observability import (
                 profile_trace,
             )

@@ -123,6 +123,16 @@ class Trainer:
             init_rng, rng,
             jnp.asarray(enc[:2]), jnp.asarray(dec[:2]), jnp.asarray(y[:2]),
         )
+        if self.mesh is not None:
+            from fine_grained_gaussian_process_forcasting_tpu.parallel.sharding import (
+                opt_state_shardings,
+                param_shardings,
+            )
+
+            p_shard = param_shardings(self.mesh, params)
+            opt_shard = opt_state_shardings(self.mesh, opt_state, params)
+            params = jax.device_put(params, p_shard)
+            opt_state = jax.device_put(opt_state, opt_shard)
         return TrainState(params=params, opt_state=opt_state, rng=rng)
 
     def device_put_split(self, split: BatchedSplit):

@@ -92,6 +92,11 @@ if __name__ == "__main__":
                                         gp=False, use_pallas_attention=True),
         "gp_basic_pallas_attn": dict(attn_type="basic", denoise=True,
                                      gp=True, use_pallas_attention=True),
+        "gp_ATA_pallas_attn": dict(attn_type="ATA", denoise=True, gp=True,
+                                   use_pallas_attention=True),
+        "plain_ATA": dict(attn_type="ATA", denoise=False, gp=False),
+        "plain_ATA_pallas_attn": dict(attn_type="ATA", denoise=False,
+                                      gp=False, use_pallas_attention=True),
     }
     for tag, kw in cases.items():
         if which != "all" and which != tag:

@@ -212,6 +212,36 @@ def test_head_folded_attention_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv_family_pallas_attention_matches_xla():
+    """ATA/conv_attn with use_pallas_attention route their final softmax
+    attention through the head-folded kernel — same outputs and grads."""
+    from fine_grained_gaussian_process_forcasting_tpu.ops.conv_attention import (
+        ATAAttention,
+        ConvAttnAttention,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, l, d = 2, 4, 16, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    for cls in (ATAAttention, ConvAttnAttention):
+        ref_mod = cls(d_k=d, n_heads=h)
+        pal_mod = cls(d_k=d, n_heads=h, use_pallas_attention=True)
+        params = ref_mod.init(jax.random.PRNGKey(0), q, k, v)
+
+        def loss(mod):
+            return lambda p: jnp.sum(jnp.sin(mod.apply(p, q, k, v)[0]))
+
+        ref_val, ref_grad = jax.value_and_grad(loss(ref_mod))(params)
+        pal_val, pal_grad = jax.value_and_grad(loss(pal_mod))(params)
+        np.testing.assert_allclose(float(pal_val), float(ref_val),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(pal_grad),
+                         jax.tree_util.tree_leaves(ref_grad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_head_folded_attention_gradients():
     from fine_grained_gaussian_process_forcasting_tpu.ops.attention import (
         scaled_dot_attention,

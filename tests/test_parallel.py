@@ -84,6 +84,46 @@ def test_sharded_gradients_match():
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_cli_dp_tp_mesh_end_to_end(tmp_path):
+    """--dp/--tp trains through the production CLI on a 4x2 virtual mesh:
+    params tp-sharded, batch dp-sharded, finite metrics out."""
+    import numpy as np
+
+    from fine_grained_gaussian_process_forcasting_tpu.train import cli
+
+    results = cli.main([
+        "--exp_name", "solar", "--synthetic", "--attn_type", "basic",
+        "--model_name", "mesh_smoke", "--num_epochs", "1", "--n_trials", "1",
+        "--n_seeds", "1", "--pred_len", "8",
+        "--out_dir", str(tmp_path), "--num_inducing", "8",
+        "--max_train_samples", "64", "--max_valid_samples", "64",
+        "--dp", "4", "--tp", "2",
+    ])
+    assert len(results) == 1
+    assert np.isfinite(results[0]["mse"])
+
+
+def test_opt_state_shardings_follow_params():
+    import optax
+
+    from fine_grained_gaussian_process_forcasting_tpu.parallel.sharding import (
+        opt_state_shardings,
+    )
+
+    model, params, *_ = _setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    opt_state = optax.adam(1e-3).init(params)
+    shards = opt_state_shardings(mesh, opt_state, params)
+    p_shards = param_shardings(mesh, params)
+    # adam's mu/nu mirror the param shardings exactly
+    assert jax.tree_util.tree_leaves(shards[0].mu) == \
+        jax.tree_util.tree_leaves(p_shards)
+    assert jax.tree_util.tree_leaves(shards[0].nu) == \
+        jax.tree_util.tree_leaves(p_shards)
+    # the step count is replicated
+    assert shards[0].count.spec == P()
+
+
 def test_param_specs_shard_attention_and_ffn():
     model, params, *_ = _setup()
     specs = param_specs(params)
