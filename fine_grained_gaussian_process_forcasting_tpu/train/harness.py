@@ -116,6 +116,66 @@ class ExperimentHarness:
         self.raw_data = raw_data
         self.train_data, self.valid_data, self.test_data = self._split_data()
 
+        # crash-safe study resume: completed trials (value + best-so-far
+        # aggregates) persist to a JSON next to the loss curves, so a
+        # killed/crashed study restarted with the same flags skips straight
+        # to the first unfinished trial (best params are already on disk as
+        # checkpoints; the compilation cache makes the restart cheap).
+        # Exceeds the reference, which loses the whole study on a crash.
+        self._study_state_path = os.path.join(
+            args.out_dir, "losses_lists", f"{self.model_name}_study.json")
+        self._completed_trials = {}
+        self._load_study_state()
+
+    # ------------------------------------------------------------------ #
+
+    def _load_study_state(self) -> None:
+        import json
+
+        if not os.path.exists(self._study_state_path):
+            return
+        with open(self._study_state_path) as f:
+            st = json.load(f)
+        self._completed_trials = st.get("trials", {})
+        self._apply_study_state(st)
+
+    def _apply_study_state(self, st: dict) -> None:
+        if st.get("best_config") is not None:
+            self.best_val = st["best_val"]
+            self.best_config = tuple(st["best_config"])
+
+    def _study_state_payload(self) -> dict:
+        return {
+            "trials": self._completed_trials,
+            "best_val": self.best_val,
+            "best_config": list(self.best_config) if self.best_config else None,
+        }
+
+    def _save_study_state(self) -> None:
+        import json
+
+        os.makedirs(os.path.dirname(self._study_state_path), exist_ok=True)
+        tmp = self._study_state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._study_state_payload(), f)
+        os.replace(tmp, self._study_state_path)
+
+    def _load_best_params(self, model_name: str, d_model: int,
+                          stack_size: int):
+        """Rebuild a checkpointed best-params tree after a restart."""
+        from fine_grained_gaussian_process_forcasting_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+
+        model = self._make_model(d_model, stack_size)
+        trainer = Trainer(model, d_model=d_model)
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), self.test_data.enc[0],
+            self.test_data.dec[0], self.test_data.y[0])
+        return load_checkpoint(
+            self.model_path, model_name,
+            template={"params": jax.device_get(state.params)})["params"]
+
     # ------------------------------------------------------------------ #
 
     def _split_data(self):
@@ -173,6 +233,13 @@ class ExperimentHarness:
         w_steps = trial.suggest_categorical("w_steps", list(args.w_steps_choices))
         stack_size = trial.suggest_categorical("stack_size", list(args.stack_choices))
 
+        trial_key = f"d{d_model}_w{w_steps}_s{stack_size}"
+        if trial_key in self._completed_trials:
+            val = self._completed_trials[trial_key]
+            print(f"trial {trial_key}: resumed from study state "
+                  f"(val {val:.4f})")
+            return val
+
         model = self._make_model(d_model, stack_size)
         trainer = Trainer(model, d_model=d_model, warmup_steps=w_steps,
                           mesh=self.mesh)
@@ -225,6 +292,8 @@ class ExperimentHarness:
         np.save(os.path.join(
             losses_dir, f"{self.model_name}_mse_losses_valid.npy"),
             np.asarray(curves_valid))
+        self._completed_trials[trial_key] = val_loss
+        self._save_study_state()
         return val_loss
 
     def run_study(self) -> hpo.Study:
@@ -242,6 +311,10 @@ class ExperimentHarness:
     # ------------------------------------------------------------------ #
 
     def evaluate(self) -> dict:
+        if self.best_params is None and self.best_config is not None:
+            # restarted process: best params live in the checkpoint
+            self.best_params = self._load_best_params(
+                self.model_name, *self.best_config)
         assert self.best_params is not None, "run_study first"
         d_model, stack_size = self.best_config
         model = self._make_model(d_model, stack_size)
@@ -295,11 +368,29 @@ class MultiSeedExperimentHarness(ExperimentHarness):
     def __init__(self, raw_data: pd.DataFrame, args: HarnessArgs, seeds,
                  mesh=None):
         self.seeds = tuple(int(s) for s in seeds)
-        super().__init__(raw_data, args, mesh=mesh)
         n = len(self.seeds)
+        # before super().__init__: _load_study_state restores into these
         self.best_val_seed = [1e10] * n
         self.best_params_seed = [None] * n
         self.best_config_seed = [None] * n
+        super().__init__(raw_data, args, mesh=mesh)
+
+    def _apply_study_state(self, st: dict) -> None:
+        super()._apply_study_state(st)
+        vals = st.get("best_val_seed") or []
+        cfgs = st.get("best_config_seed") or []
+        for i, (v, c) in enumerate(zip(vals, cfgs)):
+            if i < len(self.seeds) and c is not None:
+                self.best_val_seed[i] = v
+                self.best_config_seed[i] = tuple(c)
+
+    def _study_state_payload(self) -> dict:
+        payload = super()._study_state_payload()
+        payload["best_val_seed"] = self.best_val_seed
+        payload["best_config_seed"] = [
+            list(c) if c is not None else None for c in self.best_config_seed
+        ]
+        return payload
 
     def _name_for_seed(self, seed: int) -> str:
         args = self.args
@@ -322,6 +413,13 @@ class MultiSeedExperimentHarness(ExperimentHarness):
         d_model = trial.suggest_categorical("d_model", list(args.d_model_choices))
         w_steps = trial.suggest_categorical("w_steps", list(args.w_steps_choices))
         stack_size = trial.suggest_categorical("stack_size", list(args.stack_choices))
+
+        trial_key = f"d{d_model}_w{w_steps}_s{stack_size}"
+        if trial_key in self._completed_trials:
+            val = self._completed_trials[trial_key]
+            print(f"trial {trial_key}: resumed from study state "
+                  f"(val {val:.4f})")
+            return val
 
         model = self._make_model(d_model, stack_size)
         trainer = MultiSeedTrainer(model, d_model=d_model,
@@ -370,12 +468,19 @@ class MultiSeedExperimentHarness(ExperimentHarness):
                     np.asarray(curves_train)[:, i])
             np.save(os.path.join(losses_dir, f"{name}_mse_losses_valid.npy"),
                     np.asarray(curves_valid)[:, i])
-        return float(val_best.mean())
+        value = float(val_best.mean())
+        self._completed_trials[trial_key] = value
+        self._save_study_state()
+        return value
 
     def evaluate(self) -> list:
         """Per-seed evaluation via the single-seed machinery."""
         results = []
         for i, seed in enumerate(self.seeds):
+            if (self.best_params_seed[i] is None
+                    and self.best_config_seed[i] is not None):
+                self.best_params_seed[i] = self._load_best_params(
+                    self._name_for_seed(seed), *self.best_config_seed[i])
             assert self.best_params_seed[i] is not None, "run_study first"
             self.best_params = self.best_params_seed[i]
             self.best_config = self.best_config_seed[i]

@@ -84,6 +84,46 @@ def test_harness_end_to_end(tmp_path):
     )
 
 
+def test_study_resume_skips_completed_trials(tmp_path):
+    """Crash-safe study resume: a restarted harness skips finished trials
+    (persisted study JSON) and evaluate() reloads best params from the
+    checkpoint instead of process memory."""
+    raw = make_synthetic_frame("solar", num_entities=3, steps_per_entity=500,
+                               seed=1)
+
+    def make_args(n_trials):
+        return HarnessArgs(
+            exp_name="solar", model_name="resume_smoke", attn_type="basic",
+            pred_len=24, seed=11, n_trials=n_trials, num_epochs=1,
+            denoising=False, gp=False, num_inducing=8,
+            out_dir=str(tmp_path), d_model_choices=(16,),
+            stack_choices=(1, 3), w_steps_choices=(100,),
+            max_train_samples=64, max_valid_samples=64,
+        )
+
+    h1 = ExperimentHarness(raw, make_args(n_trials=1))
+    h1.run_study()  # completes only the first grid point
+    state_json = h1._study_state_path
+    assert os.path.exists(state_json)
+    assert len(h1._completed_trials) == 1
+    (key1, val1), = h1._completed_trials.items()
+
+    # "restart": fresh harness, full grid — trial 1 must be skipped with
+    # the recorded value, trial 2 runs fresh
+    h2 = ExperimentHarness(raw, make_args(n_trials=2))
+    assert h2._completed_trials == {key1: val1}
+    study = h2.run_study()
+    assert len(h2._completed_trials) == 2
+    assert study.best_trial.value is not None
+
+    # simulate losing in-memory best params: evaluate() must reload from
+    # the checkpoint on disk
+    h3 = ExperimentHarness(raw, make_args(n_trials=2))
+    assert h3.best_config is not None and h3.best_params is None
+    result = h3.evaluate()
+    assert np.isfinite(result["mse"])
+
+
 def test_hpo_pruning_api():
     """report/should_prune median rule (HyperbandPruner stand-in)."""
     study = hpo.create_study(sampler="grid", seed=0)
