@@ -12,7 +12,11 @@ Writes a markdown table to stdout (paste into RESULTS.md).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
     make_synthetic_frame,
