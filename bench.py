@@ -97,15 +97,17 @@ def bench_jax(steps: int = 30, bf16: bool = False,
         step_flops = float(ca.get("flops", float("nan")))
     except Exception:
         step_flops = float("nan")
+    # chained state defeats the tunnel's identical-dispatch dedup; the
+    # np.asarray host read forces true completion (block_until_ready can
+    # return before the device finishes on this platform)
     params, opt_state, rng, losses = compiled(params, opt_state, rng)
-    jax.block_until_ready(losses)
+    np.asarray(losses)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         params, opt_state, rng, losses = compiled(params, opt_state, rng)
-        jax.block_until_ready(losses)
+        losses = np.asarray(losses)
         best = min(best, time.perf_counter() - t0)
-    losses = np.asarray(losses)
     assert np.isfinite(losses).all(), "non-finite loss in bench"
     sec_per_step = best / steps
     return {
@@ -167,13 +169,16 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50,
         # report effective TFLOP/s against the XLA path's FLOP count for
         # the identical math (apples-to-apples achieved throughput)
         flops = flops_ref
-    out = compiled(x)
-    jax.block_until_ready(out)
+    # perturb x between reps (the tunnel dedups identical dispatches) and
+    # force a host scalar read (block_until_ready can return early here)
+    acc, losses = compiled(x)
+    float(acc)
     best = float("inf")
     for _ in range(3):
+        x = x * (1.0 + 1e-16 * acc)
         t0 = time.perf_counter()
-        out = compiled(x)
-        jax.block_until_ready(out)
+        acc, losses = compiled(x)
+        float(acc)
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     return {"ms": dt * 1e3, "tflops": flops / dt / 1e12, "gflops": flops / 1e9}

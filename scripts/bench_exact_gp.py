@@ -40,7 +40,12 @@ EXPERIMENTS = ("solar", "electricity", "traffic", "exchange", "covid",
                "air_quality", "watershed")
 
 
-def bench_cholesky(batch: int = 256, sizes=(192, 256, 384)) -> list:
+def bench_cholesky(batch: int = 256, sizes=(192, 256, 384),
+                   iters: int = 20) -> list:
+    """Chained inside ONE jitted lax.scan: per-dispatch timing over the
+    remote-TPU tunnel measures client pipelining, not device time (a
+    block_until_ready'd call can 'measure' 0.02 ms for a multi-ms
+    kernel)."""
     from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.cholesky import (
         batched_cholesky,
     )
@@ -51,20 +56,32 @@ def bench_cholesky(batch: int = 256, sizes=(192, 256, 384)) -> list:
         a = jnp.einsum("bnd,bmd->bnm", x, x) + n * jnp.eye(n)
 
         def timeit(fn):
-            f = jax.jit(fn)
-            out = f(a)
-            jax.block_until_ready(out)
+            def body(carry, _):
+                # reconstruct the SPD input from the factor so every
+                # iteration depends on the previous (no dead-code deletion)
+                l = fn(carry)
+                return jnp.einsum("bij,bkj->bik", l, l), None
+
+            @jax.jit
+            def run(a0):
+                out, _ = jax.lax.scan(body, a0, None, length=iters)
+                return out, jnp.sum(out)
+
+            # evolve the input across reps (the tunnel dedups identical
+            # dispatches) and force a host read of a derived scalar (its
+            # block_until_ready can return before the device finishes)
+            cur, s = run(a)
+            float(s)
             best = float("inf")
-            for _ in range(5):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                out = f(a)
-                jax.block_until_ready(out)
+                cur, s = run(cur)
+                float(s)
                 best = min(best, time.perf_counter() - t0)
-            # correctness guard
-            l = np.asarray(out)
-            err = np.abs(l @ l.transpose(0, 2, 1) - np.asarray(a)).max()
+            # correctness guard: reconstruction round-trips
+            err = np.abs(np.asarray(cur) - np.asarray(a)).max()
             assert err < 1e-2 * n, err
-            return best * 1e3
+            return best / iters * 1e3
 
         xla_ms = timeit(jnp.linalg.cholesky)
         pallas_ms = timeit(batched_cholesky)
@@ -74,12 +91,12 @@ def bench_cholesky(batch: int = 256, sizes=(192, 256, 384)) -> list:
     return rows
 
 
-def run_exact_gp(exp: str, quick: bool) -> dict:
+def run_exact_gp(exp: str, quick: bool, pred_len: int = 24) -> dict:
     args = HarnessArgs(
         exp_name=exp, model_name="ExactGP", attn_type="autoformer",
-        pred_len=24, n_trials=1, num_epochs=3 if quick else 8,
+        pred_len=pred_len, n_trials=1, num_epochs=3 if quick else 8,
         denoising=True, gp=True, gp_kind="exact",
-        out_dir=f"/tmp/exactgp_{exp}",
+        out_dir=f"/tmp/exactgp_{exp}_{pred_len}",
         max_train_samples=1024 if quick else 4096,
         max_valid_samples=256,
         d_model_choices=(32,), stack_choices=(1,),
@@ -102,6 +119,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--skip_cholesky", action="store_true")
+    parser.add_argument("--pred_len", type=int, default=24)
     args = parser.parse_args()
     enable_compilation_cache()
 
@@ -112,12 +130,12 @@ def main():
         bench_cholesky()
 
     print("\n## Exact-GP blur across the seven dataset schemas "
-          "(synthetic, gp-noise, pred 24)\n")
+          f"(synthetic, gp-noise, pred {args.pred_len})\n")
     print("| dataset | seq len (n of the O(n^3) solve) | test MSE | "
           "test MAE | train steps/s |")
     print("|---|---|---|---|---|")
     for exp in EXPERIMENTS:
-        r = run_exact_gp(exp, args.quick)
+        r = run_exact_gp(exp, args.quick, args.pred_len)
         print(f"| {r['exp']} | {r['seq']} | {r['mse']:.3f} | {r['mae']:.3f} "
               f"| {r['steps_per_sec']:.1f} |", flush=True)
 

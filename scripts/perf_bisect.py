@@ -56,16 +56,20 @@ def measure(tag, **kw):
     @jax.jit
     def run(p, s, r):
         (p, s, r), losses = jax.lax.scan(step, (p, s, r), None, length=STEPS)
-        return losses
+        return p, s, r, jnp.sum(losses)
 
+    # chain state across reps (the tunnel dedups identical dispatches) and
+    # force a host scalar read (block_until_ready alone can return early)
     t0 = time.perf_counter()
-    losses = run(params, opt_state, rng)
-    jax.block_until_ready(losses)
+    params, opt_state, rng, s = run(params, opt_state, rng)
+    float(s)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    losses = run(params, opt_state, rng)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, rng, s = run(params, opt_state, rng)
+        float(s)
+        dt = min(dt, time.perf_counter() - t0)
     print(f"{tag:40s} {1000*dt/STEPS:8.2f} ms/step  "
           f"(compile {compile_s:.0f}s)", flush=True)
 
