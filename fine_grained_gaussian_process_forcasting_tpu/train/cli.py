@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated schema-matching data")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
+    parser.add_argument("--use_pallas_attention", type=_str2bool,
+                        default="False",
+                        help="head-folded fused attention kernel (wins ~8%% "
+                             "on the basic path at d_k=4; see RESULTS.md)")
     parser.add_argument("--use_fused_gp", type=_str2bool, default="True",
                         help="fused whole-marginal Pallas GP kernel")
     parser.add_argument("--num_inducing", type=int, default=256)
@@ -151,6 +155,7 @@ def main(argv=None):
                 backbone=args.backbone,
                 out_dir=args.out_dir,
                 use_pallas_gp=args.use_pallas_gp,
+                use_pallas_attention=args.use_pallas_attention,
                 use_fused_gp=args.use_fused_gp,
                 num_inducing=args.num_inducing,
                 gp_hidden_dims=tuple(args.gp_hidden_dims),

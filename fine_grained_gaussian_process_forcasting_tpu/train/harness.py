@@ -62,6 +62,7 @@ class HarnessArgs:
     backbone: str = "transformer"
     out_dir: str = "."
     use_pallas_gp: bool = False
+    use_pallas_attention: bool = False
     use_fused_gp: bool = True
     num_inducing: int = 256
     gp_hidden_dims: tuple = ()  # extra deep-GP hidden layers
@@ -222,6 +223,7 @@ class ExperimentHarness:
             gp_hidden_dims=tuple(self.args.gp_hidden_dims),
             gp_kind=self.args.gp_kind,
             use_pallas_gp=self.args.use_pallas_gp,
+            use_pallas_attention=self.args.use_pallas_attention,
             use_fused_gp=self.args.use_fused_gp,
         )
 
