@@ -53,11 +53,14 @@ class EvalArgs:
     num_inducing: int = 256
     max_samples: Optional[int] = None  # override test sample count
     batch_size: Optional[int] = None
+    # checkpoint-name prefix when the training run was labelled differently
+    # from the raw attn type (run.sh labels variants e.g. "ATA_gp")
+    model_prefix: Optional[str] = None
 
 
 def _model_name(args: EvalArgs, attn: str, seed: int) -> str:
     return "{}_{}_{}_{}{}{}{}{}{}{}".format(
-        attn, args.exp_name, args.pred_len, seed,
+        args.model_prefix or attn, args.exp_name, args.pred_len, seed,
         "_denoise" if args.denoising else "",
         "_gp" if args.gp else "",
         "_predictions" if args.no_noise else "",
@@ -115,6 +118,13 @@ def evaluate_checkpoints(raw_data: pd.DataFrame, args: EvalArgs) -> Dict:
                             model_path, name,
                             template={"params": jax.device_get(state.params)},
                         )["params"]
+                        # orbax restores saved shapes even when the template
+                        # disagrees — verify before running the model
+                        jax.tree_util.tree_map(
+                            lambda a, b: (_ for _ in ()).throw(ValueError(
+                                f"shape {b.shape} != expected {a.shape}"))
+                            if a.shape != b.shape else None,
+                            state.params, params)
                     except Exception as e:  # missing/incompatible checkpoint
                         print(f"skip {name} d{d_model} s{stack}: {e}")
                         continue

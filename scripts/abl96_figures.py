@@ -1,0 +1,80 @@
+"""Comparison figures from the pred-96 ablation checkpoints.
+
+Reference ``evaluate.py`` / ``forecasting-figs.py`` equivalents, driven
+over the run.sh ablation's per-seed best checkpoints: per-timestep error
+bars and forecast overlays for ATA_gp / ATA_iso / ATA_no.
+
+Usage: python scripts/abl96_figures.py [--ckpt_dir results_r2/abl96_low]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fine_grained_gaussian_process_forcasting_tpu.data.synthetic import (
+    make_synthetic_frame,
+)
+from fine_grained_gaussian_process_forcasting_tpu.train.evaluate_checkpoints import (
+    EvalArgs,
+    evaluate_checkpoints,
+    plot_forecasts,
+    plot_per_step_errors,
+)
+
+VARIANTS = (
+    ("ATA_gp", dict(denoising=True, gp=True, iso=False)),
+    ("ATA_iso", dict(denoising=True, gp=False, iso=True)),
+    ("ATA_no", dict(denoising=False, gp=False, iso=False)),
+)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt_dir", default="results_r2/abl96_low")
+    parser.add_argument("--out_dir", default="results_r2")
+    parser.add_argument("--seeds", type=int, nargs="+",
+                        default=[8220, 2914, 1122])
+    args = parser.parse_args()
+
+    import numpy as np
+
+    # the ablation trained on this exact frame (train/cli.py --synthetic)
+    raw = make_synthetic_frame("solar", num_entities=8,
+                               steps_per_entity=1600, seed=0, noise="gp")
+    merged = {}
+    for prefix, flags in VARIANTS:
+        eargs = EvalArgs(
+            exp_name="solar", pred_len=96, seeds=tuple(args.seeds),
+            attn_types=("ATA",), d_models=(16, 32), stack_sizes=(1, 3),
+            model_prefix=prefix,
+            out_dir=args.ckpt_dir, max_samples=256, batch_size=64,
+            **flags,
+        )
+        res = evaluate_checkpoints(raw, eargs)
+        if not res:
+            continue
+        # 3-seed protocol: mean error curves; overlay from the median seed
+        per_seed = list(res.values())
+        median = sorted(per_seed, key=lambda r: r["mse"])[len(per_seed) // 2]
+        merged[prefix] = {
+            "per_step_mse": np.mean([r["per_step_mse"] for r in per_seed], 0),
+            "per_step_mae": np.mean([r["per_step_mae"] for r in per_seed], 0),
+            "mse": float(np.mean([r["mse"] for r in per_seed])),
+            "mae": float(np.mean([r["mae"] for r in per_seed])),
+            "predictions": median["predictions"],
+            "test_y": median["test_y"],
+        }
+        print(f"{prefix}: {len(per_seed)}-seed mean "
+              f"MSE {merged[prefix]['mse']:.3f} MAE {merged[prefix]['mae']:.3f}")
+    os.makedirs(args.out_dir, exist_ok=True)
+    p1 = plot_per_step_errors(merged, "solar_abl96", out_dir=args.out_dir)
+    p2 = plot_forecasts(merged, "solar_abl96", out_dir=args.out_dir)
+    print("figures:", p1, p2)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,19 @@ def test_evaluate_checkpoints_roundtrip(tmp_path):
     p2 = plot_forecasts(results, "solar", str(tmp_path))
     assert os.path.exists(p1) and os.path.exists(p2)
 
+    # model_prefix override resolves run-labelled checkpoint names, and
+    # shape-mismatched configs (d32 template vs saved d16) are skipped
+    # cleanly instead of crashing in apply (orbax restores saved shapes
+    # regardless of the template)
+    results = evaluate_checkpoints(raw, EvalArgs(
+        exp_name="solar", pred_len=24, seeds=(seed,),
+        attn_types=("basic",), model_prefix="basic",
+        d_models=(16, 32), stack_sizes=(1,),
+        denoising=True, gp=True, out_dir=str(tmp_path), num_inducing=8,
+        max_samples=64, batch_size=32,
+    ))
+    assert len(results) == 1 and "_d16_" in next(iter(results))
+
 
 @pytest.mark.parametrize("model_name", ["DLinear", "NBeats", "DeepAR"])
 def test_baselines_harness(tmp_path, model_name):
