@@ -71,9 +71,12 @@ def main():
         print(f"{prefix}: {len(per_seed)}-seed mean "
               f"MSE {merged[prefix]['mse']:.3f} MAE {merged[prefix]['mae']:.3f}")
     os.makedirs(args.out_dir, exist_ok=True)
-    p1 = plot_per_step_errors(merged, "solar_abl96", out_dir=args.out_dir)
-    p2 = plot_forecasts(merged, "solar_abl96", out_dir=args.out_dir)
-    print("figures:", p1, p2)
+    tag = "solar_" + os.path.basename(args.ckpt_dir.rstrip("/"))
+    p1 = plot_per_step_errors(merged, tag, out_dir=args.out_dir)
+    p2 = plot_forecasts(merged, tag, out_dir=args.out_dir)
+    p3 = plot_per_step_errors(merged, tag, out_dir=args.out_dir,
+                              metric="per_step_mae")
+    print("figures:", p1, p2, p3)
 
 
 if __name__ == "__main__":
