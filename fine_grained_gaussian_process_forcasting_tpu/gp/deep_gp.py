@@ -116,9 +116,13 @@ class _VariationalLayer(nn.Module):
                     fused_gp,
                 )
 
+                # bf16 GEMM kernel only when a 16-bit compute dtype is
+                # explicitly requested; gp_compute_dtype=float32 must stay
+                # on the fp32 kernel (advisor r2 finding).
+                use_bf16 = (self.compute_dtype is not None
+                            and jnp.dtype(self.compute_dtype).itemsize == 2)
                 marginals = (fused_gp.whitened_marginals_bf16
-                             if self.compute_dtype is not None
-                             else fused_gp.whitened_marginals)
+                             if use_bf16 else fused_gp.whitened_marginals)
                 s2 = jnp.exp(2.0 * var_log_std)
                 u = chol_inv.T @ var_mean
                 w_mat = chol_inv.T @ (chol_inv * (1.0 - s2)[:, None])

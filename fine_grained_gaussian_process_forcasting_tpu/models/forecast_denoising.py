@@ -83,8 +83,6 @@ class ForecastDenoising(nn.Module):
     # (ops/pallas/fused_gp.py); A/B-verified faster than the XLA path on
     # TPU at the flagship shapes, numerically pinned by tests/test_gp.py
     use_pallas_attention: bool = False
-    deterministic: bool = True  # retained static flag; the autocorrelation
-    # aggregator now follows the per-call ``training`` argument
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
     # forecaster's matmul path; the GP/losses stay fp32
     gp_compute_dtype: Optional[jnp.dtype] = None  # bf16 for the GP's two
@@ -105,7 +103,6 @@ class ForecastDenoising(nn.Module):
                 n_heads=self.n_heads,
                 n_layers=self.stack_size,
                 attn_type=self.attn_type,
-                deterministic=self.deterministic,
                 dtype=self.compute_dtype,
                 use_pallas_attention=self.use_pallas_attention,
             )

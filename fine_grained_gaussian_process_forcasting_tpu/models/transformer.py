@@ -93,7 +93,6 @@ class MultiHeadAttention(nn.Module):
     attn_type: str = "basic"
     fedformer_seq_len: int = 96  # hardcoded in the reference dispatcher (:69)
     fedformer_modes: int = 8
-    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas_attention: bool = False
 
@@ -195,7 +194,6 @@ class EncoderLayer(nn.Module):
     d_v: int
     n_heads: int
     attn_type: str
-    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas_attention: bool = False
 
@@ -206,7 +204,7 @@ class EncoderLayer(nn.Module):
         attn_out = MultiHeadAttention(
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
-            deterministic=self.deterministic, dtype=self.dtype,
+            dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             name="self_attn",
         )(x, x, x, training=training)
@@ -225,7 +223,6 @@ class DecoderLayer(nn.Module):
     d_v: int
     n_heads: int
     attn_type: str
-    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas_attention: bool = False
 
@@ -236,7 +233,7 @@ class DecoderLayer(nn.Module):
         kw = dict(
             d_model=self.d_model, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, attn_type=self.attn_type,
-            deterministic=self.deterministic, dtype=self.dtype,
+            dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
         )
         out = ln(x + MultiHeadAttention(**kw, name="self_attn")(
@@ -256,7 +253,6 @@ class Encoder(nn.Module):
     n_heads: int
     n_layers: int
     attn_type: str
-    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas_attention: bool = False
 
@@ -269,7 +265,7 @@ class Encoder(nn.Module):
             x = EncoderLayer(
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
-                deterministic=self.deterministic, dtype=self.dtype,
+                dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
             )(x, training=training)
@@ -284,7 +280,6 @@ class Decoder(nn.Module):
     n_heads: int
     n_layers: int
     attn_type: str
-    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
     use_pallas_attention: bool = False
 
@@ -297,7 +292,7 @@ class Decoder(nn.Module):
             x = DecoderLayer(
                 d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k,
                 d_v=self.d_v, n_heads=self.n_heads, attn_type=self.attn_type,
-                deterministic=self.deterministic, dtype=self.dtype,
+                dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 name=f"layer{i}",
             )(x, enc_out, training=training)
@@ -316,8 +311,6 @@ class Transformer(nn.Module):
     n_heads: int
     n_layers: int
     attn_type: str = "basic"
-    deterministic: bool = True  # static fallback; autocorrelation follows
-    # the per-call ``training`` argument
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bfloat16)
     use_pallas_attention: bool = False
 
@@ -327,8 +320,7 @@ class Transformer(nn.Module):
         kw = dict(
             d_model=self.d_model, d_ff=self.d_ff, d_k=self.d_k, d_v=self.d_v,
             n_heads=self.n_heads, n_layers=self.n_layers,
-            attn_type=self.attn_type, deterministic=self.deterministic,
-            dtype=self.dtype,
+            attn_type=self.attn_type, dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
         )
         in_dtype = enc_inputs.dtype

@@ -173,9 +173,24 @@ class ExperimentHarness:
         state = trainer.init_state(
             jax.random.PRNGKey(0), self.test_data.enc[0],
             self.test_data.dec[0], self.test_data.y[0])
-        return load_checkpoint(
+        params = load_checkpoint(
             self.model_path, model_name,
             template={"params": jax.device_get(state.params)})["params"]
+        # orbax restores the SAVED shapes regardless of the template; a
+        # restart with a changed HPO grid (or a crash between the per-epoch
+        # checkpoint save and the study-state save) can leave the study
+        # JSON's best_config pointing at an incompatible checkpoint —
+        # fail loudly here instead of deep inside model.apply.
+        def _check(a, b):
+            if a.shape != b.shape:
+                raise ValueError(
+                    f"checkpoint {model_name!r} has param shape {b.shape} "
+                    f"but the study state expects {a.shape} — the on-disk "
+                    f"study JSON ({self._study_state_path}) is stale "
+                    "relative to the checkpoint; delete it (or the "
+                    "checkpoint) and re-run.")
+        jax.tree_util.tree_map(_check, state.params, params)
+        return params
 
     # ------------------------------------------------------------------ #
 
