@@ -561,10 +561,23 @@ def main(argv=None):
                              "of downloading (offline environments)")
     parser.add_argument("--synthetic_noise", type=str, default="iid",
                         choices=["iid", "ar1", "gp"])
+    parser.add_argument("--from_local_csv", type=str, default=None,
+                        help="install a user-supplied processed csv "
+                             "(schema+checksum verified via data.manifest) "
+                             "instead of downloading — the offline bypass")
     args = parser.parse_args(argv)
 
     config = ExperimentConfig(experiment=args.expt_name,
                               root_folder=args.output_folder)
+    if args.from_local_csv is not None:
+        from fine_grained_gaussian_process_forcasting_tpu.data.manifest import (
+            install_local_csv,
+        )
+
+        path = install_local_csv(args.expt_name, args.from_local_csv,
+                                 root_folder=args.output_folder)
+        print(f"Installed verified local csv at {path}")
+        return path
     if os.path.exists(config.data_csv_path) and args.force_download == "no":
         print(f"Data already processed for {args.expt_name}; skipping.")
         return config.data_csv_path
