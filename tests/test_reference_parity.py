@@ -449,6 +449,208 @@ def test_end_to_end_training_parity():
     assert our_q[-1] < 4 * floor, our_q
 
 
+def test_end_to_end_gp_training_parity():
+    """Head-to-head FULL-GP-path (AutoDG) joint training vs. the reference.
+
+    The reference's actual flagship — forecaster + DeepGP blur + shared-
+    weights denoiser + lambda-clipped joint MSE+(-ELBO) loss
+    (``forecast_denoising.py:81-105`` + ``denoising_model/DeepGP.py:14-98``)
+    — trained side-by-side with this framework's ``ForecastDenoising``
+    (gp=True, denoise=True) on identical synthetic windows, identical batch
+    order, and the identical Noam-Adam law.
+
+    gpytorch is not installed here, so the torch side composes the
+    reference's OWN ``modules.transformer.Transformer`` with
+    ``tests/_torch_gp_ref.py`` — a pure-torch reimplementation of the exact
+    gpytorch math the reference invokes (whitened VariationalStrategy +
+    mean-field q + RBF-ARD ScaleKernel + LinearMean + GaussianLikelihood +
+    DeepApproximateMLL(VariationalELBO)).  Each side keeps its native
+    initialization and q-stddev parametrization (gpytorch abs() vs this
+    framework's exp(log s)); the parity claim is about *training dynamics*:
+    converged test MSE/MAE within the same envelope the No-D test enforces.
+
+    attn_type='autoformer' — the AutoDG row of BASELINE.md.  The torch side
+    inherits every reference quirk via the reference's own modules (e.g.
+    the (b,h,l,d).view position-mixing reshape in
+    ``multi_head_attention.py:92``).
+    """
+    from _torch_gp_ref import TorchForecastDenoising
+
+    import optax
+    from modules.opt_model import NoamOpt
+    from modules.transformer import Transformer as RefTransformer
+
+    from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
+        ForecastDenoising,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.train.schedule import (
+        noam_adam,
+    )
+
+    d_model, n_heads, d_k, pred = 16, 4, 4, 8
+    enc_len, dec_len, feat = 24, 8, 4
+    n_train, n_test, bsz, epochs, warmup = 256, 128, 32, 120, 200
+    num_inducing = 32
+
+    # synthetic task both models can represent (same recipe as the No-D
+    # test): linear + sin of dec covariates + enc-mean signal + noise
+    rng = np.random.default_rng(0)
+
+    def make(n):
+        enc = rng.normal(size=(n, enc_len, feat)).astype(np.float32)
+        dec = rng.normal(size=(n, dec_len, feat)).astype(np.float32)
+        y = (
+            0.6 * dec[..., :1]
+            + 0.3 * np.sin(dec[..., 1:2])
+            + 0.2 * enc[..., 0].mean(axis=1)[:, None, None]
+            + 0.05 * rng.normal(size=(n, dec_len, 1))
+        ).astype(np.float32)
+        return enc, dec, y[:, -pred:]
+
+    tr_enc, tr_dec, tr_y = make(n_train)
+    te_enc, te_dec, te_y = make(n_test)
+    order = [rng.permutation(n_train) for _ in range(epochs)]
+    batches = [idx[i:i + bsz] for idx in order
+               for i in range(0, n_train, bsz)]
+
+    # --- torch reference side ------------------------------------------- #
+    torch.manual_seed(1234)
+    ref_backbone = RefTransformer(
+        src_input_size=feat, tgt_input_size=feat, pred_len=pred,
+        d_model=d_model, d_ff=d_model * 4, d_k=d_k, d_v=d_k,
+        n_heads=n_heads, n_layers=1, src_pad_index=0, tgt_pad_index=0,
+        device="cpu", attn_type="autoformer", seed=1234)
+    ref_model = TorchForecastDenoising(
+        ref_backbone, src_input_size=feat, tgt_input_size=feat,
+        d_model=d_model, pred_len=pred, gp=True, denoise=True,
+        num_inducing=num_inducing)
+    ref_opt = NoamOpt(
+        torch.optim.Adam(ref_model.parameters(), lr=0.0,
+                         betas=(0.9, 0.98), eps=1e-9),
+        2, d_model, warmup)
+    t_enc, t_dec, t_y = _t(tr_enc), _t(tr_dec), _t(tr_y)
+    ref_curve = []
+    ref_model.train()
+    for idx in batches:
+        i = torch.tensor(np.asarray(idx, dtype=np.int64))
+        _, loss, mse = ref_model(t_enc[i], t_dec[i], t_y[i])
+        ref_opt.zero_grad()
+        loss.backward()
+        ref_opt.step_and_update_lr()
+        ref_curve.append(float(mse.detach()))
+    ref_model.eval()
+    with torch.no_grad():
+        ref_pred, _, _ = ref_model(_t(te_enc), _t(te_dec))
+        ref_pred = ref_pred.numpy()
+    ref_mse = float(np.mean((te_y - ref_pred) ** 2))
+    ref_mae = float(np.mean(np.abs(te_y - ref_pred)))
+
+    # --- this framework -------------------------------------------------- #
+    model = ForecastDenoising(
+        src_input_size=feat, tgt_input_size=feat, d_model=d_model,
+        n_heads=n_heads, d_k=d_k, stack_size=1, pred_len=pred,
+        attn_type="autoformer", gp=True, denoise=True,
+        num_inducing=num_inducing, use_fused_gp=False)
+    key = jax.random.PRNGKey(1234)
+    params = model.init(
+        {"params": key, "noise": key, "sampling": key},
+        jnp.asarray(tr_enc[:2]), jnp.asarray(tr_dec[:2]),
+        jnp.asarray(tr_y[:2]), training=True)["params"]
+    tx = noam_adam(d_model, warmup_steps=warmup, lr_mul=2.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, enc, dec, y):
+        def loss_fn(p):
+            out = model.apply({"params": p}, enc, dec, y, training=True)
+            return out.loss, out.mse
+
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, mse
+
+    j_enc, j_dec, j_y = map(jnp.asarray, (tr_enc, tr_dec, tr_y))
+    our_curve = []
+    for idx in batches:
+        i = jnp.asarray(np.asarray(idx))
+        params, opt_state, mse = step(
+            params, opt_state, j_enc[i], j_dec[i], j_y[i])
+        our_curve.append(float(mse))
+    pred_out = model.apply(
+        {"params": params}, jnp.asarray(te_enc), jnp.asarray(te_dec),
+        training=False).predictions
+    our_mse = float(np.mean((te_y - np.asarray(pred_out)) ** 2))
+    our_mae = float(np.mean(np.abs(te_y - np.asarray(pred_out))))
+
+    # --- parity ----------------------------------------------------------- #
+    print(f"GP-path ref MSE/MAE {ref_mse:.5f}/{ref_mae:.5f}  "
+          f"ours {our_mse:.5f}/{our_mae:.5f}")
+    # "matches or beats": converged error must not be WORSE than the
+    # reference's by >10%; better is a pass (first recorded run: MSE ref
+    # 0.00740 vs ours 0.00446 — ours converges lower, both within 2-3x of
+    # the 0.0025 noise floor; PARITY.md).
+    assert our_mse <= 1.10 * ref_mse + 5e-4, (ref_mse, our_mse)
+    assert our_mae <= 1.10 * ref_mae + 5e-3, (ref_mae, our_mae)
+    # both sides' MSE curves decay and converge near the noise floor
+    q = len(ref_curve) // 4
+    ref_q = [float(np.mean(c)) for c in np.array_split(ref_curve, 4)]
+    our_q = [float(np.mean(c)) for c in np.array_split(our_curve, 4)]
+    print(f"GP-path quartile train-MSE ref {['%.4f' % v for v in ref_q]} "
+          f"ours {['%.4f' % v for v in our_q]}")
+    assert all(b < a for a, b in zip(ref_q, ref_q[1:])), ref_q
+    assert all(b < a for a, b in zip(our_q, our_q[1:])), our_q
+    floor = 0.05 ** 2
+    assert ref_q[-1] < 4 * floor, ref_q
+    assert our_q[-1] < 4 * floor, our_q
+
+
+def test_torch_gp_marginals_match_jax_gp():
+    """The torch GP reimplementation and this framework's DeepGP compute
+    identical whitened-variational marginals and KL given identical
+    parameters — the lemma that makes the end-to-end GP parity test a
+    comparison of the reference's math, not of two unrelated models."""
+    from _torch_gp_ref import TorchWhitenedGP
+
+    from fine_grained_gaussian_process_forcasting_tpu.gp.deep_gp import DeepGP
+
+    d, m, b, n = 6, 16, 3, 20
+    rng = np.random.default_rng(7)
+    tg = TorchWhitenedGP(d, m)
+    with torch.no_grad():
+        tg.inducing_points.copy_(_t(rng.normal(size=(m, d)).astype(np.float32)))
+        tg.variational_mean.copy_(_t(rng.normal(size=(m,)).astype(np.float32)))
+        stddev = np.abs(rng.normal(size=(m,))).astype(np.float32) + 0.3
+        tg._variational_stddev.copy_(_t(stddev))
+        tg.raw_lengthscale.copy_(_t(rng.normal(size=(d,)).astype(np.float32)))
+        tg.raw_outputscale.copy_(_t(np.float32(0.4)))
+        tg.mean_weights.copy_(_t(rng.normal(size=(d,)).astype(np.float32)))
+        tg.mean_bias.copy_(_t(np.float32(0.2)))
+
+    x = rng.normal(size=(b, n, d)).astype(np.float32)
+    t_mean, t_var, t_kl = tg.marginals(_t(x))
+
+    gp = DeepGP(input_dims=d, num_inducing=m, use_fused=False)
+    params = gp.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    layer = dict(params["output_layer"])
+    layer["inducing_points"] = jnp.asarray(tg.inducing_points.detach().numpy())
+    layer["variational_mean"] = jnp.asarray(
+        tg.variational_mean.detach().numpy())
+    layer["variational_log_stddev"] = jnp.asarray(np.log(stddev))
+    layer["raw_lengthscale"] = jnp.asarray(
+        tg.raw_lengthscale.detach().numpy())
+    layer["raw_outputscale"] = jnp.asarray(np.float32(0.4))
+    layer["mean_weight"] = jnp.asarray(tg.mean_weights.detach().numpy())
+    layer["mean_bias"] = jnp.asarray(np.float32(0.2))
+    params = {**params, "output_layer": layer}
+    post = gp.apply({"params": params}, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(post.mean),
+                               t_mean.detach().numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(post.var),
+                               t_var.detach().numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(post.kl), float(t_kl), rtol=1e-5)
+
+
 def test_masked_prob_attention_matches():
     """Masked ProbSparse parity vs ``layers/SelfAttention_Family.py:44-131``.
 
