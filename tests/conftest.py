@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: end-to-end training / multi-minute tests, excluded from the "
+        "fast contract tier (`make test-fast` / `-m 'not slow'`)",
+    )
