@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "noise to learn)")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated schema-matching data")
+    parser.add_argument("--synthetic_profile", type=str,
+                        default="stationary",
+                        choices=["stationary", "field"],
+                        help="'field' adds amplitude drift, regime "
+                             "shifts and heteroscedastic corruption "
+                             "(real-data character; data/synthetic.py)")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
     parser.add_argument("--use_pallas_attention", type=_str2bool,
                         default="False",
@@ -78,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gp_kind", type=str, default="variational",
                         choices=["variational", "exact"])
     parser.add_argument("--max_train_samples", type=int, default=None)
+    parser.add_argument("--clip_grad_norm", type=float, default=0.0,
+                        help="global-norm gradient clipping; 0 = off "
+                             "(reference semantics). Opt-in mitigation "
+                             "for warmup-phase seed divergence")
     parser.add_argument("--max_valid_samples", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the study")
@@ -109,7 +119,8 @@ def main(argv=None):
     if args.synthetic:
         raw_data = make_synthetic_frame(args.exp_name, num_entities=8,
                                         steps_per_entity=1600, seed=0,
-                                        noise=args.synthetic_noise)
+                                        noise=args.synthetic_noise,
+                                        profile=args.synthetic_profile)
     else:
         csv_path = args.data_csv or f"{args.exp_name}.csv"
         raw_data = pd.read_csv(csv_path, dtype={"date": str})
@@ -164,6 +175,7 @@ def main(argv=None):
                 max_valid_samples=args.max_valid_samples,
                 d_model_choices=tuple(args.d_model_choices),
                 stack_choices=tuple(args.stack_choices),
+                clip_grad_norm=args.clip_grad_norm,
             )
             if args.multiseed:
                 from fine_grained_gaussian_process_forcasting_tpu.train.harness import (

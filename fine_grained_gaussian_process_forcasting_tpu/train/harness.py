@@ -74,6 +74,10 @@ class HarnessArgs:
     # sample-count overrides (None => formatter defaults, e.g. 32000/3840)
     max_train_samples: Optional[int] = None
     max_valid_samples: Optional[int] = None
+    # opt-in global-norm gradient clipping (0.0 = off, the reference's
+    # semantics; >0 mitigates the warmup-phase seed divergence of the
+    # iso/no-denoise arms — RESULTS.md seed-stability table)
+    clip_grad_norm: float = 0.0
 
 
 class ExperimentHarness:
@@ -259,7 +263,8 @@ class ExperimentHarness:
 
         model = self._make_model(d_model, stack_size)
         trainer = Trainer(model, d_model=d_model, warmup_steps=w_steps,
-                          mesh=self.mesh)
+                          mesh=self.mesh,
+                          clip_grad_norm=self.args.clip_grad_norm)
 
         train_dev = trainer.device_put_split(self.train_data)
         valid_dev = trainer.device_put_split(self.valid_data)
@@ -441,7 +446,8 @@ class MultiSeedExperimentHarness(ExperimentHarness):
         model = self._make_model(d_model, stack_size)
         trainer = MultiSeedTrainer(model, d_model=d_model,
                                    n_seeds=len(self.seeds),
-                                   warmup_steps=w_steps)
+                                   warmup_steps=w_steps,
+                                   clip_grad_norm=self.args.clip_grad_norm)
 
         train_dev = tuple(jax.device_put(a) for a in (
             self.train_data.enc, self.train_data.dec, self.train_data.y))

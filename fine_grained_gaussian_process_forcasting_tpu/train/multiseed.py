@@ -36,10 +36,12 @@ class MultiSeedTrainer:
     """N-replica version of ``train.Trainer`` (same model.apply contract)."""
 
     def __init__(self, model, d_model: int, n_seeds: int,
-                 warmup_steps: int = 4000, lr_mul: float = 2.0):
+                 warmup_steps: int = 4000, lr_mul: float = 2.0,
+                 clip_grad_norm: float = 0.0):
         self.model = model
         self.n_seeds = n_seeds
-        self.optimizer = noam_adam(d_model, warmup_steps, lr_mul)
+        self.optimizer = noam_adam(d_model, warmup_steps, lr_mul,
+                                   clip_grad_norm=clip_grad_norm)
         self._build()
 
     def _build(self):

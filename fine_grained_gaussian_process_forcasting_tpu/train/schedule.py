@@ -25,11 +25,19 @@ def noam_schedule(d_model: int, warmup_steps: int, lr_mul: float = 2.0):
 
 
 def noam_adam(
-    d_model: int, warmup_steps: int = 4000, lr_mul: float = 2.0
+    d_model: int, warmup_steps: int = 4000, lr_mul: float = 2.0,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
-    return optax.adam(
+    """``clip_grad_norm > 0`` chains global-norm clipping before Adam —
+    an opt-in divergence mitigation (the reference clips nothing; default
+    0.0 preserves its semantics; see RESULTS.md seed-stability table)."""
+    adam = optax.adam(
         learning_rate=noam_schedule(d_model, warmup_steps, lr_mul),
         b1=0.9,
         b2=0.98,
         eps=1e-9,
     )
+    if clip_grad_norm and clip_grad_norm > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(clip_grad_norm), adam)
+    return adam

@@ -45,9 +45,11 @@ class Trainer:
         warmup_steps: int = 4000,
         lr_mul: float = 2.0,
         mesh: Optional[Mesh] = None,
+        clip_grad_norm: float = 0.0,
     ):
         self.model = model
-        self.optimizer = noam_adam(d_model, warmup_steps, lr_mul)
+        self.optimizer = noam_adam(d_model, warmup_steps, lr_mul,
+                                   clip_grad_norm=clip_grad_norm)
         self.mesh = mesh
         self._build()
 
