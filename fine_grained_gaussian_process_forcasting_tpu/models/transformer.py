@@ -166,14 +166,23 @@ class MultiHeadAttention(nn.Module):
             context, _ = prob_sparse_attention(q, k, v, rng)
         elif self.attn_type == "basic":
             if self.use_pallas_attention:
-                # head-folded kernel: (L, L) scores/probs stay in VMEM and
-                # heads fold into lanes (4x HBM padding instead of the old
-                # fused_attention kernel's 32x)
-                from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
-                    head_folded_attention,
-                )
+                if d_k >= 64:
+                    # lane-filling head dim: the per-(batch, head) fused
+                    # softmax kernel wins (scores/probs never in HBM, no
+                    # lane padding) — the production-scale (d_k 64) route
+                    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.flash_attention import (
+                        fused_attention,
+                    )
 
-                context = head_folded_attention(q, k, v)
+                    context = fused_attention(q, k, v)
+                else:
+                    # tiny head dim: fold heads into lanes (4x HBM padding
+                    # instead of the per-head kernel's 32x)
+                    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.head_folded_attention import (
+                        head_folded_attention,
+                    )
+
+                    context = head_folded_attention(q, k, v)
             else:
                 context, _ = scaled_dot_attention(q, k, v)
         else:
