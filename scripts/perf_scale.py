@@ -1,10 +1,18 @@
 """Production-scale perf: larger model dims where MXU/kernels matter.
 
 The reference's configs are tiny (d_model <= 32); this measures the
-framework at serving-relevant sizes (d_model 512, d_k 64, L 512) across
-the XLA path, the fused-attention Pallas kernel, and bf16 compute.
+framework at serving-relevant sizes (default d_model 512, d_k 64,
+enc 512) across the XLA path, fused-attention Pallas, and bf16 compute —
+reporting ms/step, achieved TFLOP/s and % of the v5e bf16 peak (VERDICT
+r2 item 4: an MFU story is only credible at production dims).
+
+Axon-safe timing: steps chained through a lax.scan carry inside ONE jit;
+params evolve across repeat dispatches (the tunnel dedups identical
+dispatches); a host scalar read forces true completion.
 """
 
+import argparse
+import json
 import sys
 import time
 
@@ -12,6 +20,7 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
@@ -23,20 +32,21 @@ from fine_grained_gaussian_process_forcasting_tpu.utils.cache import (
 
 enable_compilation_cache()
 
-B, ENC_LEN, DEC_LEN, PRED, F = 64, 512, 128, 128, 8
-D_MODEL, HEADS = 512, 8
-STEPS = 10
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def measure(tag, **kw):
+def measure(tag, args, **kw):
+    B, F = args.batch, 8
     model = ForecastDenoising(
-        src_input_size=F, tgt_input_size=F, d_model=D_MODEL, n_heads=HEADS,
-        d_k=D_MODEL // HEADS, stack_size=2, pred_len=PRED,
-        attn_type="basic", gp=True, denoise=True, num_inducing=256, **kw)
+        src_input_size=F, tgt_input_size=F, d_model=args.d_model,
+        n_heads=args.heads, d_k=args.d_model // args.heads,
+        stack_size=args.stack, pred_len=args.pred_len,
+        attn_type=args.attn_type, gp=True, denoise=True,
+        num_inducing=args.inducing, **kw)
     rng = jax.random.PRNGKey(0)
-    enc = jax.random.normal(rng, (B, ENC_LEN, F))
-    dec = jax.random.normal(rng, (B, DEC_LEN, F))
-    y = jax.random.normal(rng, (B, PRED, 1))
+    enc = jax.random.normal(rng, (B, args.enc_len, F))
+    dec = jax.random.normal(rng, (B, args.dec_len, F))
+    y = jax.random.normal(rng, (B, args.pred_len, 1))
 
     @jax.jit
     def _init(r):
@@ -61,31 +71,72 @@ def measure(tag, **kw):
 
     @jax.jit
     def run(p, s, r):
-        (p, s, r), losses = jax.lax.scan(step, (p, s, r), None, length=STEPS)
-        return losses
+        (p, s, r), losses = jax.lax.scan(step, (p, s, r), None,
+                                         length=args.steps)
+        return p, s, r, losses
+
+    try:
+        one = jax.jit(lambda p, s, r: step((p, s, r), None))
+        ca = one.lower(params, opt_state, rng).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        step_flops = float("nan")
 
     t0 = time.perf_counter()
-    losses = run(params, opt_state, rng)
-    jax.block_until_ready(losses)
+    compiled = run.lower(params, opt_state, rng).compile()
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    losses = run(params, opt_state, rng)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    wps = B * STEPS / dt
-    print(f"{tag:30s} {1000*dt/STEPS:8.2f} ms/step  {wps:9.0f} windows/s "
-          f"(compile {compile_s:.0f}s)", flush=True)
+    # warmup + evolve state so repeat dispatches are never byte-identical
+    params, opt_state, rng, losses = compiled(params, opt_state, rng)
+    np.asarray(losses)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, rng, losses = compiled(params, opt_state, rng)
+        np.asarray(losses)
+        best = min(best, time.perf_counter() - t0)
+    ms = 1000 * best / args.steps
+    tflops = step_flops / (best / args.steps) / 1e12
+    pct = 100 * tflops / V5E_BF16_PEAK_TFLOPS
+    row = {
+        "config": tag, "d_model": args.d_model, "batch": B,
+        "enc_len": args.enc_len, "attn_type": args.attn_type,
+        "ms_per_step": round(ms, 2),
+        "windows_per_sec": round(B / (best / args.steps)),
+        "step_tflops": round(tflops, 2),
+        "pct_of_bf16_peak": round(pct, 2),
+        "peak_denominator": "v5e bf16 197 TFLOP/s",
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    p = argparse.ArgumentParser()
+    p.add_argument("case", nargs="?", default="all")
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--stack", type=int, default=2)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--enc_len", type=int, default=512)
+    p.add_argument("--dec_len", type=int, default=128)
+    p.add_argument("--pred_len", type=int, default=128)
+    p.add_argument("--inducing", type=int, default=256)
+    p.add_argument("--attn_type", default="basic")
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args()
+
     cases = {
         "xla_fp32": dict(),
         "pallas_attn_fp32": dict(use_pallas_attention=True),
-        "xla_bf16": dict(compute_dtype=jnp.bfloat16),
-        "pallas_gp": dict(use_pallas_gp=True),
+        "xla_bf16": dict(compute_dtype=jnp.bfloat16,
+                         gp_compute_dtype=jnp.bfloat16),
+        "pallas_attn_bf16": dict(use_pallas_attention=True,
+                                 compute_dtype=jnp.bfloat16,
+                                 gp_compute_dtype=jnp.bfloat16),
     }
     for tag, kw in cases.items():
-        if which != "all" and which != tag:
+        if args.case != "all" and args.case != tag:
             continue
-        measure(tag, **kw)
+        measure(tag, args, **kw)
