@@ -26,3 +26,54 @@ def pytest_configure(config):
         "slow: end-to-end training / multi-minute tests, excluded from the "
         "fast contract tier (`make test-fast` / `-m 'not slow'`)",
     )
+
+
+# Tests >=10s on the 1-CPU reference host (measured 2026-08-17,
+# `--durations=40`): the slow tier.  Everything else forms the <5-min
+# fast contract suite.  (test_dryrun_multichip_8 and test_entry_compiles
+# stay fast deliberately — they are THE driver contracts.)
+_SLOW = {
+    ("test_reference_parity.py", "test_end_to_end_gp_training_parity"),
+    ("test_reference_parity.py", "test_end_to_end_training_parity"),
+    ("test_gp.py", "test_composite_exact_gp_kind"),
+    ("test_gp.py", "test_deep_gp_multilayer"),
+    ("test_graft_entry.py", "test_dryrun_multichip_odd_and_single"),
+    ("test_graft_entry.py", "test_dryrun_multichip_4"),
+    ("test_harness.py", "test_study_resume_skips_completed_trials"),
+    ("test_harness.py", "test_harness_end_to_end"),
+    ("test_model_and_train.py", "test_gradients_flow_through_gp"),
+    ("test_model_and_train.py", "test_multilayer_gp_composite_end_to_end"),
+    ("test_multiseed.py", "test_multiseed_harness_matches_sequential_harness"),
+    ("test_multiseed.py", "test_multiseed_matches_sequential_trainers"),
+    ("test_fused_gp.py", "test_deep_gp_fused_matches_xla_path"),
+    ("test_fused_gp.py", "test_fused_multilayer_falls_back_cleanly"),
+    ("test_fedformer_wavelet.py", "test_fedformer_versions"),
+    ("test_fedformer_wavelet.py", "test_informer_stack"),
+    ("test_pallas_kernels.py", "test_conv_family_pallas_attention_matches_xla"),
+    ("test_predict.py", "test_inference_session_end_to_end"),
+    ("test_harness_surfaces.py", "test_evaluate_checkpoints_roundtrip"),
+    ("test_harness_surfaces.py", "test_cli_end_to_end"),
+    ("test_parallel.py", "test_cli_dp_tp_mesh_end_to_end"),
+    ("test_parallel.py", "test_sharded_loss_matches_single_device"),
+    # second trim (first fast-tier timing came in at 6m35s): moderate
+    # 5-45s tests whose coverage the slow tier / driver retains
+    ("test_graft_entry.py", "test_dryrun_multichip_8"),
+    ("test_harness_surfaces.py", "test_baselines_harness"),
+    ("test_fedformer_wavelet.py",
+     "test_multiwavelet_transform_self_attention_iface"),
+    ("test_fedformer_wavelet.py", "test_mwtcz_roundtrip_shape"),
+    ("test_model_and_train.py", "test_lstm_backbone_composite"),
+    ("test_model_and_train.py", "test_forecast_denoising_modes"),
+    ("test_pallas_kernels.py", "test_rbf_pallas_gradients_match"),
+    ("test_baselines.py", "test_deepar_forward_and_nll"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.name.split("[")[0]
+        if (fname, base) in _SLOW:
+            item.add_marker(pytest.mark.slow)
