@@ -168,8 +168,10 @@ class MultiHeadAttention(nn.Module):
             if self.use_pallas_attention:
                 if d_k >= 64:
                     # lane-filling head dim: the per-(batch, head) fused
-                    # softmax kernel wins (scores/probs never in HBM, no
-                    # lane padding) — the production-scale (d_k 64) route
+                    # softmax kernel is the better pallas variant (no
+                    # lane padding; scores/probs never in HBM), though
+                    # XLA's native path still wins end-to-end at d_k=64
+                    # (RESULTS.md production table) — pallas stays opt-in
                     from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.flash_attention import (
                         fused_attention,
                     )
