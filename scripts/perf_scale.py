@@ -41,7 +41,7 @@ def measure(tag, args, **kw):
         src_input_size=F, tgt_input_size=F, d_model=args.d_model,
         n_heads=args.heads, d_k=args.d_model // args.heads,
         stack_size=args.stack, pred_len=args.pred_len,
-        attn_type=args.attn_type, gp=True, denoise=True,
+        attn_type=args.attn_type, gp=args.gp, denoise=args.denoise,
         num_inducing=args.inducing, **kw)
     rng = jax.random.PRNGKey(0)
     enc = jax.random.normal(rng, (B, args.enc_len, F))
@@ -101,6 +101,7 @@ def measure(tag, args, **kw):
     row = {
         "config": tag, "d_model": args.d_model, "batch": B,
         "enc_len": args.enc_len, "attn_type": args.attn_type,
+        "gp": args.gp, "denoise": args.denoise,
         "ms_per_step": round(ms, 2),
         "windows_per_sec": round(B / (best / args.steps)),
         "step_tflops": round(tflops, 2),
@@ -125,6 +126,12 @@ if __name__ == "__main__":
     p.add_argument("--inducing", type=int, default=256)
     p.add_argument("--attn_type", default="basic")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--gp", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-gp measures the step without the GP blur "
+                        "(production-step bisect)")
+    p.add_argument("--denoise", action=argparse.BooleanOptionalAction,
+                   default=True)
     args = p.parse_args()
 
     cases = {
