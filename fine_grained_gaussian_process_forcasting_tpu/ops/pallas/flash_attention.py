@@ -1,6 +1,6 @@
 """Fused softmax attention Pallas kernel.
 
-At this model family's sequence lengths (<= 384) the full score matrix of
+At this model family's sequence lengths (<= 640) the full score matrix of
 one (batch, head) fits comfortably in VMEM, so the win over XLA is not
 tiling (classic flash attention) but *fusion*: scores -> softmax -> context
 never touch HBM.  XLA materializes the (b*h, L, L) attention weights in
@@ -12,13 +12,19 @@ P = softmax(S); o = P v.  Backward recomputes P from the saved q/k (cheap)
 and fuses dv = P^T do, dp = do v^T, ds = P * (dp - rowsum(dp * P)),
 dq = ds k / sqrt(d), dk = ds^T q / sqrt(d).
 
-The head dim is zero-padded to the 128-lane boundary (exact: padded lanes
-contribute zero to every contraction).
+Dtype policy (round 3): the GEMM inputs follow the model's compute dtype
+— bf16 inputs run the five GEMMs as bf16 x bf16 -> fp32 accumulation
+(MXU native rate); the softmax and the ds assembly always run fp32.
+The head dim is used unpadded when it is a multiple of 64 (Mosaic allows
+a block dim equal to the array dim); smaller head dims zero-pad to the
+128-lane boundary (exact: padded lanes contribute zero to every
+contraction).
 
-Measured on v5e at this model family's shapes (b=256, h=8, L=192, d_k=4):
-the 32x lane padding dominates and the kernel is ~2x *slower* than XLA's
-native batched path (26.3 vs 12.6 ms/step on the plain-basic model), so it
-stays opt-in (``use_pallas_attention``); it profits when d_k >= 64.
+Measured on v5e (RESULTS.md): at d_k=4 the 32x lane padding dominates and
+the kernel is ~2x slower than XLA's native batched path, so it stays
+opt-in (``use_pallas_attention``); the round-2 fp32-only variant also
+lost ~10% at d_k=64 — this bf16 + unpadded revision is the production
+(d_k >= 64) route.
 """
 
 from __future__ import annotations
@@ -32,32 +38,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
+def _dot(a, b, bf16):
+    if bf16:
+        a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(bf16, scale_ref, q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale_ref[0, 0]
+    s = _dot(q, k.T, bf16) * scale_ref[0, 0]
     p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = _dot(p, v, bf16)
 
 
-def _bwd_kernel(scale_ref, q_ref, k_ref, v_ref, do_ref,
+def _bwd_kernel(bf16, scale_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
     scale = scale_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = _dot(q, k.T, bf16) * scale
     p = jax.nn.softmax(s, axis=-1)
-    dv_ref[0] = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    dv_ref[0] = _dot(p.T, do, bf16)
+    dp = _dot(do, v.T, bf16)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = _dot(ds, k, bf16) * scale
+    dk_ref[0] = _dot(ds.T, q, bf16) * scale
 
 
 def _pad_lanes(x, dpad):
+    if x.shape[-1] == dpad:
+        return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, dpad - x.shape[-1])))
 
 
@@ -75,7 +89,8 @@ def _specs(n, lq, lk, dpad, n_out=1):
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     """Softmax attention over (b, h, l, d); context only (no attn matrix).
 
-    Numerically matches ``ops.attention.scaled_dot_attention``'s context.
+    Numerically matches ``ops.attention.scaled_dot_attention``'s context
+    (to bf16 GEMM tolerance when the inputs are bf16).
     """
     o, _ = _fwd(q, k, v)
     return o
@@ -84,19 +99,24 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
 def _flatten(q, k, v):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    dpad = max(128, ((d + 127) // 128) * 128)
+    # a head dim that is a multiple of 64 runs unpadded (block dim ==
+    # array dim is Mosaic-legal); smaller head dims pad to the lane width
+    dpad = d if d % 64 == 0 else max(128, ((d + 127) // 128) * 128)
+    bf16 = q.dtype == jnp.bfloat16
     n = b * h
-    qf = _pad_lanes(q.reshape(n, lq, d).astype(jnp.float32), dpad)
-    kf = _pad_lanes(k.reshape(n, lk, d).astype(jnp.float32), dpad)
-    vf = _pad_lanes(v.reshape(n, lk, d).astype(jnp.float32), dpad)
+    ct = jnp.bfloat16 if bf16 else jnp.float32
+    qf = _pad_lanes(q.reshape(n, lq, d).astype(ct), dpad)
+    kf = _pad_lanes(k.reshape(n, lk, d).astype(ct), dpad)
+    vf = _pad_lanes(v.reshape(n, lk, d).astype(ct), dpad)
     scale = jnp.asarray(1.0 / math.sqrt(d), jnp.float32).reshape(1, 1)
-    return qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n)
+    return qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n, bf16, ct)
 
 
 def _fwd(q, k, v):
-    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n) = _flatten(q, k, v)
+    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n, bf16, ct) = _flatten(
+        q, k, v)
     o = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, bf16),
         out_shape=jax.ShapeDtypeStruct((n, lq, dpad), jnp.float32),
         grid=(n,),
         in_specs=_specs(n, lq, lk, dpad),
@@ -104,7 +124,7 @@ def _fwd(q, k, v):
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * lq * lk * (2 * dpad),
-            bytes_accessed=4 * n * (lq + 2 * lk + lq) * dpad,
+            bytes_accessed=qf.dtype.itemsize * n * (lq + 2 * lk + lq) * dpad,
             transcendentals=n * lq * lk,
         ),
         interpret=jax.default_backend() == "cpu",
@@ -115,12 +135,13 @@ def _fwd(q, k, v):
 
 def _bwd(res, g):
     q, k, v = res
-    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n) = _flatten(q, k, v)
-    gf = _pad_lanes(g.reshape(n, lq, d).astype(jnp.float32), dpad)
+    qf, kf, vf, scale, (b, h, lq, lk, d, dpad, n, bf16, ct) = _flatten(
+        q, k, v)
+    gf = _pad_lanes(g.reshape(n, lq, d).astype(ct), dpad)
     blk = lambda l: pl.BlockSpec((1, l, dpad), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, bf16),
         out_shape=(
             jax.ShapeDtypeStruct((n, lq, dpad), jnp.float32),
             jax.ShapeDtypeStruct((n, lk, dpad), jnp.float32),
@@ -131,7 +152,7 @@ def _bwd(res, g):
         out_specs=(blk(lq), blk(lk), blk(lk)),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * n * lq * lk * dpad,
-            bytes_accessed=4 * n * (3 * lq + 4 * lk) * dpad,
+            bytes_accessed=qf.dtype.itemsize * n * (3 * lq + 4 * lk) * dpad,
             transcendentals=n * lq * lk,
         ),
         interpret=jax.default_backend() == "cpu",
