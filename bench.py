@@ -79,15 +79,22 @@ def bench_jax(steps: int = 30, bf16: bool = False,
         return (p, s, r), loss
 
     # the production trainer scans batches inside one jit (train/trainer.py);
-    # measure the same shape of work: `steps` fused train steps per dispatch.
-    @jax.jit
-    def run(p, s, r):
-        (p, s, r), losses = jax.lax.scan(train_step, (p, s, r), None,
-                                         length=steps)
-        return p, s, r, losses
+    # measure the same shape of work: fused train steps per dispatch.
+    # SLOPE timing (round 3): the axon tunnel charges ~31 ms fixed RPC
+    # overhead per dispatch, so a single scan length inflates per-step
+    # time; timing TWO lengths and taking the difference cancels it.
+    steps_hi = steps * 4
 
-    lowered = run.lower(params, opt_state, rng)
-    compiled = lowered.compile()
+    def make_run(length):
+        @jax.jit
+        def run(p, s, r):
+            (p, s, r), losses = jax.lax.scan(train_step, (p, s, r), None,
+                                             length=length)
+            return p, s, r, losses
+        return run.lower(params, opt_state, rng).compile()
+
+    compiled_lo = make_run(steps)
+    compiled_hi = make_run(steps_hi)
     try:
         # FLOPs from an UNSCANNED single-step lowering: XLA's cost
         # analysis counts a scan body once regardless of trip count
@@ -97,22 +104,29 @@ def bench_jax(steps: int = 30, bf16: bool = False,
         step_flops = float(ca.get("flops", float("nan")))
     except Exception:
         step_flops = float("nan")
+
     # chained state defeats the tunnel's identical-dispatch dedup; the
     # np.asarray host read forces true completion (block_until_ready can
     # return before the device finishes on this platform)
-    params, opt_state, rng, losses = compiled(params, opt_state, rng)
-    np.asarray(losses)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        params, opt_state, rng, losses = compiled(params, opt_state, rng)
-        losses = np.asarray(losses)
-        best = min(best, time.perf_counter() - t0)
-    assert np.isfinite(losses).all(), "non-finite loss in bench"
-    sec_per_step = best / steps
+    def best_of(compiled, p, s, r, reps=3):
+        p, s, r, losses = compiled(p, s, r)
+        np.asarray(losses)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            p, s, r, losses = compiled(p, s, r)
+            losses = np.asarray(losses)
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(losses).all(), "non-finite loss in bench"
+        return best, (p, s, r)
+
+    t_lo, state = best_of(compiled_lo, params, opt_state, rng)
+    t_hi, _ = best_of(compiled_hi, *state)
+    sec_per_step = (t_hi - t_lo) / (steps_hi - steps)
     return {
-        "steps_per_sec": steps / best,
+        "steps_per_sec": 1.0 / sec_per_step,
         "step_tflops": step_flops / sec_per_step / 1e12,
+        "dispatch_overhead_ms": 1e3 * (t_lo - steps * sec_per_step),
     }
 
 
@@ -159,9 +173,12 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50,
 
     grad_fn = jax.value_and_grad(gp_loss)
 
-    # scan `iters` fwd+grad evaluations inside ONE jit: per-dispatch tunnel
-    # overhead and client pipelining otherwise dominate at these ~0.1-1 ms
-    # kernel durations and produce physically impossible TFLOP/s
+    # scan fwd+grad evaluations inside ONE jit (per-dispatch client
+    # pipelining otherwise dominates), at TWO scan lengths: the axon
+    # tunnel charges ~31 ms fixed RPC overhead per dispatch, so the
+    # per-iteration time is the SLOPE between the two lengths, not a
+    # single length's mean (round-3 fix; at iters=50 the old numbers
+    # were inflated +0.6 ms per iteration)
     def seg_step(carry, _):
         acc, xx = carry
         loss, grads = grad_fn(params, xx + 1e-12 * acc)
@@ -169,13 +186,18 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50,
                                jax.tree_util.tree_leaves(grads))
         return (acc, xx), loss
 
-    @jax.jit
-    def run(xx):
-        (acc, _), losses = jax.lax.scan(
-            seg_step, (jnp.zeros(()), xx), None, length=iters)
-        return acc, losses
+    iters_hi = iters * 8
 
-    compiled = run.lower(x).compile()
+    def make_run(length):
+        @jax.jit
+        def run(xx):
+            (acc, _), losses = jax.lax.scan(
+                seg_step, (jnp.zeros(()), xx), None, length=length)
+            return acc, losses
+        return jax.jit(run).lower(x).compile()
+
+    compiled_lo = make_run(iters)
+    compiled_hi = make_run(iters_hi)
     try:
         # FLOPs from an UNSCANNED lowering: XLA's cost analysis counts a
         # scan body once regardless of trip count
@@ -189,18 +211,24 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50,
         # report effective TFLOP/s against the XLA path's FLOP count for
         # the identical math (apples-to-apples achieved throughput)
         flops = flops_ref
+
     # perturb x between reps (the tunnel dedups identical dispatches) and
     # force a host scalar read (block_until_ready can return early here)
-    acc, losses = compiled(x)
-    float(acc)
-    best = float("inf")
-    for _ in range(3):
-        x = x * (1.0 + 1e-16 * acc)
-        t0 = time.perf_counter()
-        acc, losses = compiled(x)
+    def best_of(compiled, xx, reps=3):
+        acc, _ = compiled(xx)
         float(acc)
-        best = min(best, time.perf_counter() - t0)
-    dt = best / iters
+        best = float("inf")
+        for _ in range(reps):
+            xx = xx * (1.0 + 1e-16 * acc)
+            t0 = time.perf_counter()
+            acc, _ = compiled(xx)
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = best_of(compiled_lo, x)
+    t_hi = best_of(compiled_hi, x)
+    dt = (t_hi - t_lo) / (iters_hi - iters)
     return {"ms": dt * 1e3, "tflops": flops / dt / 1e12, "gflops": flops / 1e9}
 
 
@@ -408,6 +436,10 @@ def main():
         # -- perf detail (BASELINE.json MXU/TFLOP targets) ---------------- #
         "bf16_steps_per_sec": round(bf16["steps_per_sec"], 3),
         "step_tflops": round(fp32["step_tflops"], 3),
+        # fixed per-dispatch RPC cost of this platform's tunnel, measured
+        # as the intercept of the two-scan-length fit (slope timing) —
+        # NOT part of any per-step number above
+        "dispatch_overhead_ms": round(fp32["dispatch_overhead_ms"], 1),
         "gp_segment_ms": round(gp_fp32["ms"], 3),
         "gp_segment_tflops": round(gp_fp32["tflops"], 3),
         "gp_segment_tflops_bf16": round(gp_bf16["tflops"], 3),

@@ -37,31 +37,44 @@ B, SEQ = 256, 288  # flagship: b=256, enc 192 + dec 96
 
 
 def timed_scan(body, init_x, iters=50):
-    """axon-safe timing: `iters` body evals chained in one jit."""
+    """axon-safe SLOPE timing: body evals chained in one jit at two scan
+    lengths; per-iter = (T_hi - T_lo)/(iters_hi - iters_lo), cancelling
+    the tunnel's ~31 ms fixed per-dispatch RPC cost (round-3 finding —
+    single-length timing inflated every sub-ms kernel by +0.6 ms)."""
     def step(carry, _):
         acc, xx = carry
         out = body(xx + 1e-12 * acc)
         acc = acc + out
         return (acc, xx), out
 
-    @jax.jit
-    def run(xx):
-        (acc, _), outs = jax.lax.scan(step, (jnp.zeros(()), xx), None,
-                                      length=iters)
-        return acc, outs
+    def make_run(length):
+        @jax.jit
+        def run(xx):
+            (acc, _), outs = jax.lax.scan(step, (jnp.zeros(()), xx), None,
+                                          length=length)
+            return acc, outs
+        return run.lower(init_x).compile()
 
-    compiled = run.lower(init_x).compile()
-    acc, _ = compiled(init_x)
-    float(acc)
-    best = float("inf")
-    x = init_x
-    for _ in range(3):
-        x = x * (1.0 + 1e-16 * acc)
-        t0 = time.perf_counter()
-        acc, _ = compiled(x)
+    iters_hi = iters * 8
+    compiled_lo = make_run(iters)
+    compiled_hi = make_run(iters_hi)
+
+    def best_of(compiled):
+        acc, _ = compiled(init_x)
         float(acc)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        best = float("inf")
+        x = init_x
+        for _ in range(3):
+            x = x * (1.0 + 1e-16 * float(acc))
+            t0 = time.perf_counter()
+            acc, _ = compiled(x)
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = best_of(compiled_lo)
+    t_hi = best_of(compiled_hi)
+    return (t_hi - t_lo) / (iters_hi - iters)
 
 
 def main():

@@ -69,11 +69,13 @@ def measure(tag, args, **kw):
         updates, s = optimizer.update(grads, s, p)
         return (optax.apply_updates(p, updates), s, r), loss
 
-    @jax.jit
-    def run(p, s, r):
-        (p, s, r), losses = jax.lax.scan(step, (p, s, r), None,
-                                         length=args.steps)
-        return p, s, r, losses
+    def make_run(length):
+        @jax.jit
+        def run(p, s, r):
+            (p, s, r), losses = jax.lax.scan(step, (p, s, r), None,
+                                             length=length)
+            return p, s, r, losses
+        return run.lower(params, opt_state, rng).compile()
 
     try:
         one = jax.jit(lambda p, s, r: step((p, s, r), None))
@@ -83,27 +85,39 @@ def measure(tag, args, **kw):
     except Exception:
         step_flops = float("nan")
 
+    # SLOPE timing at two scan lengths cancels the tunnel's ~31 ms fixed
+    # per-dispatch RPC cost (see scripts/kernel_overhead_r3.py)
+    steps_hi = args.steps * 4
     t0 = time.perf_counter()
-    compiled = run.lower(params, opt_state, rng).compile()
+    compiled_lo = make_run(args.steps)
+    compiled_hi = make_run(steps_hi)
     compile_s = time.perf_counter() - t0
-    # warmup + evolve state so repeat dispatches are never byte-identical
-    params, opt_state, rng, losses = compiled(params, opt_state, rng)
-    np.asarray(losses)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        params, opt_state, rng, losses = compiled(params, opt_state, rng)
+
+    def best_of(compiled, p, s, r, reps=3):
+        # warmup + evolve state so repeat dispatches are never
+        # byte-identical
+        p, s, r, losses = compiled(p, s, r)
         np.asarray(losses)
-        best = min(best, time.perf_counter() - t0)
-    ms = 1000 * best / args.steps
-    tflops = step_flops / (best / args.steps) / 1e12
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            p, s, r, losses = compiled(p, s, r)
+            np.asarray(losses)
+            best = min(best, time.perf_counter() - t0)
+        return best, (p, s, r)
+
+    t_lo, state = best_of(compiled_lo, params, opt_state, rng)
+    t_hi, _ = best_of(compiled_hi, *state)
+    sec_per_step = (t_hi - t_lo) / (steps_hi - args.steps)
+    ms = 1000 * sec_per_step
+    tflops = step_flops / sec_per_step / 1e12
     pct = 100 * tflops / V5E_BF16_PEAK_TFLOPS
     row = {
         "config": tag, "d_model": args.d_model, "batch": B,
         "enc_len": args.enc_len, "attn_type": args.attn_type,
         "gp": args.gp, "denoise": args.denoise,
         "ms_per_step": round(ms, 2),
-        "windows_per_sec": round(B / (best / args.steps)),
+        "windows_per_sec": round(B / sec_per_step),
         "step_tflops": round(tflops, 2),
         "pct_of_bf16_peak": round(pct, 2),
         "peak_denominator": "v5e bf16 197 TFLOP/s",
