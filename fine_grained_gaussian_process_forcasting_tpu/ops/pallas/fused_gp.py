@@ -71,8 +71,11 @@ def _fwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, mean_ref,
     d2 = x2 + z2.T - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32)
     k = os_ * jnp.exp(-0.5 * d2)  # (TR, M)
     g = _dot16(k, w_ref[:], bf16)  # (TR, M) — the dominant GEMM
-    mean_ref[0, 0, :] = jnp.sum(k * u_ref[:], axis=-1)
-    var_ref[0, 0, :] = os_ - jnp.sum(g * k, axis=-1)
+    # (TR, 1) column stores: the row-reduction lands in sublanes, so no
+    # sublane->lane transpose is emitted (the (1, TR) lane layout cost a
+    # measured 2.3x on the whole fwd kernel — scripts/kernel_ablate_r3.py)
+    mean_ref[0] = jnp.sum(k * u_ref[:], axis=-1, keepdims=True)
+    var_ref[0] = os_ - jnp.sum(g * k, axis=-1, keepdims=True)
 
 
 def _bwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, dmean_ref,
@@ -86,8 +89,8 @@ def _bwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, dmean_ref,
     k = os_ * jnp.exp(-0.5 * d2)  # recomputed, never in HBM
     g = _dot16(k, w_ref[:], bf16)
 
-    dm = dmean_ref[0, 0][:, None]  # (TR, 1)
-    dv = dvar_ref[0, 0][:, None]  # (TR, 1)
+    dm = dmean_ref[0]  # (TR, 1) — column cotangents broadcast over lanes
+    dv = dvar_ref[0]  # (TR, 1)   without a transpose
     dk = dm * u_ref[:] - 2.0 * dv * g  # (TR, M)
     e = dk * k
 
@@ -150,18 +153,19 @@ def _forward(xs, zs, u, w, outputscale, bf16=False):
             pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        # (G, 1, tr) blocks: Mosaic requires the last two block dims be
-        # divisible by (8, 128) or equal the array dims — (1, tr) qualifies
-        # only as the trailing dims of a 3-D layout
+        # (G, tr, 1) COLUMN blocks: Mosaic's block rule ((8, 128)-divisible
+        # or equal to the array dims) admits (tr, 1) as the trailing dims of
+        # a 3-D layout, and the column orientation keeps the kernel's row
+        # reductions in sublanes — no lane transpose per tile
         out_specs=[
-            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tr, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tr, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
-            jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
+            jax.ShapeDtypeStruct((rp // tr, tr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rp // tr, tr, 1), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(xf, zs, u.reshape(1, m), w, os2d)
@@ -193,9 +197,9 @@ def _bwd_rule(bf16, residuals, cotangents):
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tr, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tr, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -214,7 +218,7 @@ def _bwd_rule(bf16, residuals, cotangents):
         ],
         interpret=jax.default_backend() == "cpu",
     )(xf, zs, u.reshape(1, m), w, os2d,
-      dmf.reshape(rp // tr, 1, tr), dvf.reshape(rp // tr, 1, tr))
+      dmf.reshape(rp // tr, tr, 1), dvf.reshape(rp // tr, tr, 1))
     return (dxs[:r].reshape(b, n, d), dzs, du.reshape(m), dw,
             dos.reshape(()).astype(jnp.asarray(outputscale).dtype))
 
