@@ -232,6 +232,108 @@ def bench_gp_segment(bf16: bool = False, iters: int = 50,
     return {"ms": dt * 1e3, "tflops": flops / dt / 1e12, "gflops": flops / 1e9}
 
 
+def _slope_time(body, init_x, iters: int = 50) -> float:
+    """Axon-safe per-iteration seconds: scan-chained body at two lengths,
+    per-iter = slope (cancels the tunnel's ~31 ms fixed RPC cost), inputs
+    evolved between reps (dedup defeat) + host scalar read (early
+    block_until_ready defeat)."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(carry, _):
+        acc, xx = carry
+        out = body(xx + 1e-12 * acc)
+        return (acc + out, xx), ()
+
+    def make_run(length):
+        @jax.jit
+        def run(xx):
+            (acc, _), _ = jax.lax.scan(step, (jnp.zeros(()), xx), None,
+                                       length=length)
+            return acc
+        return run.lower(init_x).compile()
+
+    iters_hi = iters * 8
+    compiled_lo, compiled_hi = make_run(iters), make_run(iters_hi)
+
+    def best_of(compiled):
+        acc = compiled(init_x)
+        float(acc)
+        best, x = float("inf"), init_x
+        for _ in range(3):
+            x = x * (1.0 + 1e-16 * float(acc))
+            t0 = time.perf_counter()
+            acc = compiled(x)
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (best_of(compiled_hi) - best_of(compiled_lo)) / (iters_hi - iters)
+
+
+def bench_gp_kernel(bf16: bool = False, d_model: int = None,
+                    iters: int = 50) -> dict:
+    """The fused whitened-marginal Pallas kernel ALONE (fwd+grad, u/W
+    precomputed) — isolates the kernel this framework wrote from the
+    XLA-side Cholesky/variational assembly that bench_gp_segment folds
+    in.  Rated by its analytic physical GEMM count (gp_physical_flops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas import (
+        fused_gp,
+    )
+
+    d = D_MODEL if d_model is None else d_model
+    m = INDUCING
+    rows = B * (ENC_LEN + DEC_LEN)
+    key = jax.random.PRNGKey(0)
+    zs = jax.random.normal(key, (m, d))
+    u = 0.01 * jnp.ones((m,))
+    w = 0.5 * jnp.eye(m)
+    os_ = jnp.ones(())
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (B, ENC_LEN + DEC_LEN, d))
+    op = fused_gp.whitened_marginals_bf16 if bf16 else \
+        fused_gp.whitened_marginals
+
+    def kern(xx):
+        def f(xi):
+            mean, var = op(xi, zs, u, w, os_)
+            return jnp.sum(mean) + jnp.sum(var)
+
+        val, g = jax.value_and_grad(f)(xx)
+        return val + jnp.sum(g)
+
+    dt = _slope_time(kern, x, iters)
+    flops = gp_physical_flops(d, rows, m)
+    return {"ms": dt * 1e3, "tflops": flops / dt / 1e12}
+
+
+def bench_ref_gemm(bf16: bool = True, iters: int = 200) -> dict:
+    """Measured bare-XLA GEMM rate at the kernel's dominant shape —
+    (rows, M) @ (M, M) — the *achievable* device rate at this shape (the
+    published 197 TF/s bf16 peak is not reachable even by XLA's plain
+    GEMM here; kernel_ablate_r3 measured 119 TF/s bf16 / 107 fp32).
+    This is the honest denominator for kernel-efficiency claims."""
+    import jax
+    import jax.numpy as jnp
+
+    m = INDUCING
+    rows = B * (ENC_LEN + DEC_LEN)
+    dt_ = jnp.bfloat16 if bf16 else jnp.float32
+    a = jax.random.normal(jax.random.PRNGKey(0), (rows, m), dtype=dt_)
+    bmat = jax.random.normal(jax.random.PRNGKey(1), (m, m), dtype=dt_)
+
+    def body(xx):
+        g = jnp.dot(xx, bmat, preferred_element_type=jnp.float32)
+        return jnp.sum(g)
+
+    dt = _slope_time(body, a, iters)
+    flops = 2.0 * rows * m * m
+    return {"ms": dt * 1e3, "tflops": flops / dt / 1e12}
+
+
 def bench_torch(steps: int = 2) -> float:
     """Equivalent model in PyTorch, run on CPU.  Written from the same math
     as the JAX build (not copied from the reference)."""
@@ -417,6 +519,13 @@ def main():
     gp_d128 = bench_gp_segment(bf16=True, fused=True, d_model=128,
                                flops_ref=gp_physical_flops(
                                    128, rows, INDUCING))
+    # kernel-alone utilization (round 3): the Pallas kernel isolated from
+    # the XLA-side Cholesky/variational assembly, plus the measured
+    # same-shape bare-GEMM rate as the achievable-peak denominator
+    gp_kern = bench_gp_kernel(bf16=False)
+    gp_kern128 = bench_gp_kernel(bf16=True, d_model=128)
+    gemm_f32 = bench_ref_gemm(bf16=False)
+    gemm_bf16 = bench_ref_gemm(bf16=True)
 
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -466,6 +575,27 @@ def main():
         "gp_d128_fused_bf16_pct_of_bf16_peak": round(
             100 * gp_d128["tflops"] / _V5E_BF16_PEAK_TFLOPS, 2),
         "gp_mxu_util_denominator": "v5e bf16 peak 197 TFLOP/s",
+        # -- kernel-alone utilization (round 3) --------------------------- #
+        # fused Pallas kernel fwd+grad isolated (u/W precomputed), rated by
+        # its analytic physical GEMM count; '..._of_measured_gemm' divides
+        # by the bare-XLA same-shape GEMM rate measured in THIS run — the
+        # achievable device rate at this shape, which even plain XLA GEMMs
+        # cap at ~60% of the published bf16 peak
+        "gp_kernel_fused_ms": round(gp_kern["ms"], 3),
+        "gp_kernel_fused_tflops_physical": round(gp_kern["tflops"], 3),
+        "gp_kernel_pct_of_bf16_peak": round(
+            100 * gp_kern["tflops"] / _V5E_BF16_PEAK_TFLOPS, 2),
+        "gp_kernel_pct_of_measured_fp32_gemm": round(
+            100 * gp_kern["tflops"] / gemm_f32["tflops"], 2),
+        "gp_kernel_d128_bf16_ms": round(gp_kern128["ms"], 3),
+        "gp_kernel_d128_bf16_tflops_physical": round(
+            gp_kern128["tflops"], 3),
+        "gp_kernel_d128_bf16_pct_of_bf16_peak": round(
+            100 * gp_kern128["tflops"] / _V5E_BF16_PEAK_TFLOPS, 2),
+        "gp_kernel_d128_bf16_pct_of_measured_bf16_gemm": round(
+            100 * gp_kern128["tflops"] / gemm_bf16["tflops"], 2),
+        "xla_same_shape_gemm_tflops_fp32": round(gemm_f32["tflops"], 2),
+        "xla_same_shape_gemm_tflops_bf16": round(gemm_bf16["tflops"], 2),
     }))
 
 

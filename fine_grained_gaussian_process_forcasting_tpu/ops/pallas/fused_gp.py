@@ -50,7 +50,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TR = 1024  # rows (flattened batch x points) per grid cell
+_TR = 2048  # rows (flattened batch x points) per grid cell; the round-3
+# tile sweep (RESULTS.md "kernel ablation") measured larger tiles faster
+# at both flagship (d=32 fp32: 68.0 vs 63.1 TFLOP/s at 2048 vs 1024) and
+# lane-filling (d=128 bf16: 104.1 vs 93.8) shapes — fewer parameter-
+# cotangent accumulation rounds and longer MXU pipelines per cell.
+# 4096 is another ~4% faster standalone but its bwd needs 23.8 MiB of
+# scoped VMEM and the compiler's in-step limit is 16 MiB (OOM inside the
+# full train step); 2048 fits everywhere
 
 
 def _dot16(a, b, bf16):
