@@ -57,7 +57,8 @@ _TR = 2048  # rows (flattened batch x points) per grid cell; the round-3
 # cotangent accumulation rounds and longer MXU pipelines per cell.
 # 4096 is another ~4% faster standalone but its bwd needs 23.8 MiB of
 # scoped VMEM and the compiler's in-step limit is 16 MiB (OOM inside the
-# full train step); 2048 fits everywhere
+# full train step); 2048 fits at flagship dims and _row_layout downshifts
+# automatically where the bwd tile would not fit (e.g. 1024 at d=512)
 
 
 def _dot16(a, b, bf16):
@@ -134,10 +135,18 @@ def _bwd_kernel(bf16, xs_ref, zs_ref, u_ref, w_ref, os_ref, dmean_ref,
         dos_ref[0, 0] += dos
 
 
-def _row_layout(b, n):
-    """Rows padded to a whole number of _TR tiles (single tile if small)."""
+def _row_layout(b, n, d=32, m=256):
+    """Rows padded to a whole number of row-tiles (single tile if small).
+
+    The tile is the largest power of two <= _TR whose BWD kernel fits the
+    compiler's 16 MiB scoped-VMEM limit *inside a full train step*.  The
+    byte model is calibrated from two measured compiler OOM reports
+    (23.81 MiB at tr=4096 d=32 m=256; 21.50 MiB at tr=2048 d=512 m=256):
+    bytes/row ~= 21.5*m + 9.8*d, budgeted at 15 MB for margin."""
     r = b * n
     tr = min(_TR, r)
+    while tr > 512 and tr * (22.0 * m + 10.0 * d) > 15e6:
+        tr //= 2
     rp = -(-r // tr) * tr
     return r, rp, tr
 
@@ -145,7 +154,7 @@ def _row_layout(b, n):
 def _forward(xs, zs, u, w, outputscale, bf16=False):
     b, n, d = xs.shape
     m = zs.shape[0]
-    r, rp, tr = _row_layout(b, n)
+    r, rp, tr = _row_layout(b, n, d, m)
     xf = xs.reshape(r, d)
     if rp != r:
         xf = jnp.pad(xf, ((0, rp - r), (0, 0)))
@@ -185,7 +194,7 @@ def _bwd_rule(bf16, residuals, cotangents):
     dmean, dvar = cotangents
     b, n, d = xs.shape
     m = zs.shape[0]
-    r, rp, tr = _row_layout(b, n)
+    r, rp, tr = _row_layout(b, n, d, m)
     xf = xs.reshape(r, d)
     dmf = dmean.reshape(r)
     dvf = dvar.reshape(r)
