@@ -38,13 +38,17 @@ def main():
     parser.add_argument("--out_dir", default="results_r2")
     parser.add_argument("--seeds", type=int, nargs="+",
                         default=[8220, 2914, 1122])
+    parser.add_argument("--profile", default="stationary",
+                        help="synthetic profile the ablation trained on "
+                             "(train/cli.py --synthetic_profile)")
     args = parser.parse_args()
 
     import numpy as np
 
     # the ablation trained on this exact frame (train/cli.py --synthetic)
     raw = make_synthetic_frame("solar", num_entities=8,
-                               steps_per_entity=1600, seed=0, noise="gp")
+                               steps_per_entity=1600, seed=0, noise="gp",
+                               profile=args.profile)
     merged = {}
     for prefix, flags in VARIANTS:
         eargs = EvalArgs(
