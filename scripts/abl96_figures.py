@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--profile", default="stationary",
                         help="synthetic profile the ablation trained on "
                              "(train/cli.py --synthetic_profile)")
+    parser.add_argument("--d_models", type=int, nargs="+", default=[16, 32],
+                        help="HPO grid actually trained (a pinned-grid run "
+                             "needs only its own combo — avoids compiling "
+                             "restore attempts for absent checkpoints)")
+    parser.add_argument("--stacks", type=int, nargs="+", default=[1, 3])
     args = parser.parse_args()
 
     import numpy as np
@@ -53,7 +58,8 @@ def main():
     for prefix, flags in VARIANTS:
         eargs = EvalArgs(
             exp_name="solar", pred_len=96, seeds=tuple(args.seeds),
-            attn_types=("ATA",), d_models=(16, 32), stack_sizes=(1, 3),
+            attn_types=("ATA",), d_models=tuple(args.d_models),
+            stack_sizes=tuple(args.stacks),
             model_prefix=prefix,
             out_dir=args.ckpt_dir, max_samples=256, batch_size=64,
             **flags,
