@@ -38,11 +38,18 @@ B, SEQ = 256, 288
 
 
 def make_fwd(variant: str, tr: int, m: int, d: int, bf16_kw=True):
+    """Variants keep the ORIGINAL (1, 1, TR) lane-layout outputs except
+    ``kwcol``, which stores (TR, 1) COLUMN outputs — the round-3 fix:
+    row-reductions land in sublanes, so no per-tile sublane->lane
+    transpose is emitted (measured 2.3x on the whole fwd kernel; shipped
+    in ops/pallas/fused_gp.py)."""
+    column = variant == "kwcol"
+
     def kernel(xs_ref, zs_ref, u_ref, w_ref, os_ref, mean_ref, var_ref):
         os_ = os_ref[0, 0]
         x = xs_ref[:]
         z = zs_ref[:]
-        if variant == "kw_only":
+        if variant in ("kw_only", "kwcol"):
             k = jnp.dot(x, z.T, preferred_element_type=jnp.float32)
         else:
             x2 = jnp.sum(x * x, axis=-1, keepdims=True)
@@ -60,8 +67,12 @@ def make_fwd(variant: str, tr: int, m: int, d: int, bf16_kw=True):
         kk = k.astype(jnp.bfloat16) if bf16_kw else k
         w = w_ref[:].astype(jnp.bfloat16) if bf16_kw else w_ref[:]
         g = jnp.dot(kk, w, preferred_element_type=jnp.float32)
-        mean_ref[0, 0, :] = jnp.sum(k * u_ref[:], axis=-1)
-        var_ref[0, 0, :] = os_ - jnp.sum(g * k, axis=-1)
+        if column:
+            mean_ref[0] = jnp.sum(k * u_ref[:], axis=-1, keepdims=True)
+            var_ref[0] = os_ - jnp.sum(g * k, axis=-1, keepdims=True)
+        else:
+            mean_ref[0, 0, :] = jnp.sum(k * u_ref[:], axis=-1)
+            var_ref[0, 0, :] = os_ - jnp.sum(g * k, axis=-1)
 
     def fwd(xf, zs, u, w, os2d):
         rp = xf.shape[0]
@@ -81,14 +92,18 @@ def make_fwd(variant: str, tr: int, m: int, d: int, bf16_kw=True):
                              memory_space=pltpu.SMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tr), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tr, 1) if column else (1, 1, tr),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tr, 1) if column else (1, 1, tr),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
-                jax.ShapeDtypeStruct((rp // tr, 1, tr), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (rp // tr, tr, 1) if column else (rp // tr, 1, tr),
+                    jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (rp // tr, tr, 1) if column else (rp // tr, 1, tr),
+                    jnp.float32),
             ],
         )(xf, zs, u, w, os2d)
 
@@ -154,7 +169,7 @@ def main():
     for tr in (512, 1024, 2048, 4096):
         rp = -(-r // tr) * tr
         xf = jax.random.normal(jax.random.PRNGKey(1), (rp, d))
-        for variant in ("full", "noexp", "gemm_only", "kw_only"):
+        for variant in ("full", "noexp", "gemm_only", "kw_only", "kwcol"):
             fn = make_fwd(variant, tr, m, d)
             ms = timed(fn, (xf, zs, u, w, os2d), args.iters) * 1e3
             out[f"{variant}_tr{tr}_ms"] = round(ms, 4)
