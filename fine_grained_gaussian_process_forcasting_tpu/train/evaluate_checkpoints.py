@@ -51,6 +51,8 @@ class EvalArgs:
     input_corrupt: bool = False
     out_dir: str = "."
     num_inducing: int = 256
+    gp_hidden_dims: Sequence[int] = ()  # multi-layer DeepGP runs
+                                        # (train/cli.py --gp_hidden_dims)
     max_samples: Optional[int] = None  # override test sample count
     batch_size: Optional[int] = None
     # checkpoint-name prefix when the training run was labelled differently
@@ -108,6 +110,7 @@ def evaluate_checkpoints(raw_data: pd.DataFrame, args: EvalArgs) -> Dict:
                         no_noise=args.no_noise, residual=args.residual,
                         input_corrupt=args.input_corrupt,
                         num_inducing=args.num_inducing,
+                        gp_hidden_dims=tuple(args.gp_hidden_dims),
                     )
                     try:
                         trainer = Trainer(model, d_model=d_model)
