@@ -46,6 +46,9 @@ def main():
                              "needs only its own combo — avoids compiling "
                              "restore attempts for absent checkpoints)")
     parser.add_argument("--stacks", type=int, nargs="+", default=[1, 3])
+    parser.add_argument("--gpdeep_dir", default=None,
+                        help="optional checkpoint dir of an ATA_gpdeep arm "
+                             "(hidden (8,) x 512 inducing) to overlay")
     args = parser.parse_args()
 
     import numpy as np
@@ -54,14 +57,21 @@ def main():
     raw = make_synthetic_frame("solar", num_entities=8,
                                steps_per_entity=1600, seed=0, noise="gp",
                                profile=args.profile)
+    variants = list(VARIANTS)
+    if args.gpdeep_dir:
+        variants.append(("ATA_gpdeep",
+                         dict(denoising=True, gp=True, iso=False,
+                              num_inducing=512, gp_hidden_dims=(8,))))
     merged = {}
-    for prefix, flags in VARIANTS:
+    for prefix, flags in variants:
         eargs = EvalArgs(
             exp_name="solar", pred_len=96, seeds=tuple(args.seeds),
             attn_types=("ATA",), d_models=tuple(args.d_models),
             stack_sizes=tuple(args.stacks),
             model_prefix=prefix,
-            out_dir=args.ckpt_dir, max_samples=256, batch_size=64,
+            out_dir=(args.gpdeep_dir if prefix == "ATA_gpdeep"
+                     else args.ckpt_dir),
+            max_samples=256, batch_size=64,
             **flags,
         )
         res = evaluate_checkpoints(raw, eargs)
