@@ -121,23 +121,27 @@ class _VariationalLayer(nn.Module):
                 # on the fp32 kernel (advisor r2 finding).
                 use_bf16 = (self.compute_dtype is not None
                             and jnp.dtype(self.compute_dtype).itemsize == 2)
-                marginals = (fused_gp.whitened_marginals_bf16
-                             if use_bf16 else fused_gp.whitened_marginals)
+                marginals = (fused_gp.whitened_marginals_affine_bf16
+                             if use_bf16
+                             else fused_gp.whitened_marginals_affine)
                 s2 = jnp.exp(2.0 * var_log_std)
                 u = chol_inv.T @ var_mean
                 w_mat = chol_inv.T @ (chol_inv * (1.0 - s2)[:, None])
-                xs = x / lengthscale
+                # x goes in RAW: the 1/lengthscale scaling and the
+                # LinearMean epilogue run inside the kernel (no scaled
+                # (B, N, d) copy or mean GEMV in HBM — 0.41 ms of the
+                # 1.04 ms flagship segment, RESULTS.md round 3)
                 zsc = inducing / lengthscale
-                squeeze = xs.ndim == 2
+                xr = x
+                squeeze = xr.ndim == 2
                 if squeeze:
-                    xs = xs[None]
-                mean_k, var = marginals(
-                    xs.astype(jnp.float32), zsc.astype(jnp.float32),
-                    u, w_mat, outputscale)
+                    xr = xr[None]
+                mean, var = marginals(
+                    xr.astype(jnp.float32), zsc.astype(jnp.float32),
+                    u, w_mat, outputscale, 1.0 / lengthscale, mean_w,
+                    mean_b)
                 if squeeze:
-                    mean_k, var = mean_k[0], var[0]
-                mean_x = jnp.einsum("...nd,d->...n", x, mean_w) + mean_b
-                mean = mean_x + mean_k
+                    mean, var = mean[0], var[0]
                 var = jnp.maximum(var, 1e-8)
                 kl = 0.5 * jnp.sum(
                     s2 + var_mean * var_mean - 1.0 - 2.0 * var_log_std)

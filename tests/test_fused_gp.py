@@ -125,3 +125,45 @@ def test_fused_multilayer_falls_back_cleanly():
                     rngs={"noise": jax.random.PRNGKey(3)})
     assert np.isfinite(np.asarray(post.mean)).all()
     assert (np.asarray(post.var) > 0).all()
+
+
+def test_affine_kernel_matches_composed_math():
+    """whitened_marginals_affine == scale-outside + LinearMean-outside
+    composition, values and all 8 gradients (round 3: the scaling and
+    mean epilogue moved inside the kernel — 0.41 ms of the flagship
+    segment; RESULTS.md)."""
+    from fine_grained_gaussian_process_forcasting_tpu.ops.pallas import (
+        fused_gp,
+    )
+
+    b, n, d, m = 3, 50, 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, d))
+    zs = jax.random.normal(jax.random.PRNGKey(1), (m, d))
+    u = jax.random.normal(jax.random.PRNGKey(2), (m,)) * 0.1
+    w = jax.random.normal(jax.random.PRNGKey(3), (m, m)) * 0.05
+    w = w @ w.T
+    os_ = jnp.asarray(1.3)
+    ils = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (d,))) + 0.5
+    mw = jax.random.normal(jax.random.PRNGKey(5), (d,)) / d
+    mb = jnp.asarray(0.7)
+
+    def composed(x, zs, u, w, os_, ils, mw, mb):
+        mk, v = fused_gp.whitened_marginals(x * ils, zs, u, w, os_)
+        return mk + jnp.einsum("bnd,d->bn", x, mw) + mb, v
+
+    def loss(f, *a):
+        mean, var = f(*a)
+        return jnp.sum(jnp.sin(mean)) + jnp.sum(var * var)
+
+    args = (x, zs, u, w, os_, ils, mw, mb)
+    m1, v1 = composed(*args)
+    m2, v2 = fused_gp.whitened_marginals_affine(*args)
+    np.testing.assert_allclose(m1, m2, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(v1, v2, rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda *a: loss(composed, *a),
+                  argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(lambda *a: loss(fused_gp.whitened_marginals_affine, *a),
+                  argnums=tuple(range(8)))(*args)
+    for i, (ga, gb) in enumerate(zip(g1, g2)):
+        np.testing.assert_allclose(ga, gb, rtol=5e-5, atol=5e-5,
+                                   err_msg=f"grad {i}")
