@@ -1,0 +1,95 @@
+"""Serving-latency benchmark: flagship AutoDG inference forward.
+
+Measures the jitted eval-mode forward (the exact computation
+``train.predict.InferenceSession`` dispatches) at serving batch sizes,
+on-device, slope-timed (two scan lengths cancel this platform's ~31 ms
+fixed per-dispatch RPC cost, which is a property of the dev tunnel, not
+of TPU serving).  Reports ms/batch and windows/s per batch size.
+
+Usage: python scripts/bench_inference.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fine_grained_gaussian_process_forcasting_tpu.models.forecast_denoising import (
+    ForecastDenoising,
+)
+
+ENC_LEN, DEC_LEN, F = 192, 96, 4
+D_MODEL, HEADS, STACK, INDUCING = 32, 8, 1, 256
+
+
+def bench_batch(model, params, b, iters=100):
+    enc = jax.random.normal(jax.random.PRNGKey(1), (b, ENC_LEN, F))
+    dec = jax.random.normal(jax.random.PRNGKey(2), (b, DEC_LEN, F))
+
+    def fwd(e):
+        out = model.apply({"params": params}, e, dec, training=False,
+                          rngs={"noise": jax.random.PRNGKey(0),
+                                "sampling": jax.random.PRNGKey(1)})
+        return out.predictions
+
+    def step(carry, _):
+        acc, e = carry
+        p = fwd(e + 1e-12 * acc)
+        return (acc + jnp.sum(p[..., :1, :]), e), ()
+
+    def make_run(length):
+        @jax.jit
+        def run(e):
+            (acc, _), _ = jax.lax.scan(step, (jnp.zeros(()), e), None,
+                                       length=length)
+            return acc
+        return run.lower(enc).compile()
+
+    iters_hi = iters * 8
+    lo, hi = make_run(iters), make_run(iters_hi)
+
+    def best_of(compiled):
+        acc = compiled(enc)
+        float(acc)
+        best, e = float("inf"), enc
+        for _ in range(3):
+            e = e * (1.0 + 1e-16 * float(acc))
+            t0 = time.perf_counter()
+            acc = compiled(e)
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (best_of(hi) - best_of(lo)) / (iters_hi - iters)
+    return {"ms": dt * 1e3, "windows_per_sec": b / dt}
+
+
+def main():
+    model = ForecastDenoising(
+        src_input_size=F, tgt_input_size=F, d_model=D_MODEL, n_heads=HEADS,
+        d_k=D_MODEL // HEADS, stack_size=STACK, pred_len=DEC_LEN,
+        attn_type="autoformer", gp=True, denoise=True,
+        num_inducing=INDUCING)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, ENC_LEN, F))
+    dec = jax.random.normal(jax.random.PRNGKey(2), (1, DEC_LEN, F))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(3),
+         "sampling": jax.random.PRNGKey(4)}, enc, dec)["params"]
+
+    out = {"config": "AutoDG flagship eval forward (enc 192, pred 96)"}
+    for b in (1, 16, 64, 256):
+        r = bench_batch(model, params, b)
+        out[f"b{b}_ms"] = round(r["ms"], 3)
+        out[f"b{b}_windows_per_sec"] = round(r["windows_per_sec"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
