@@ -46,9 +46,11 @@ def main():
                              "needs only its own combo — avoids compiling "
                              "restore attempts for absent checkpoints)")
     parser.add_argument("--stacks", type=int, nargs="+", default=[1, 3])
-    parser.add_argument("--gpdeep_dir", default=None,
-                        help="optional checkpoint dir of an ATA_gpdeep arm "
-                             "(hidden (8,) x 512 inducing) to overlay")
+    parser.add_argument("--extra_arm", action="append", default=[],
+                        help="extra GP arm to overlay, as "
+                             "prefix:ckpt_dir:num_inducing[:h1,h2] — e.g. "
+                             "ATA_gp512:results_r3/abl_field_gp512:512 or "
+                             "ATA_gpdeep:results_r3/abl_field_gpdeep:512:8")
     args = parser.parse_args()
 
     import numpy as np
@@ -57,20 +59,23 @@ def main():
     raw = make_synthetic_frame("solar", num_entities=8,
                                steps_per_entity=1600, seed=0, noise="gp",
                                profile=args.profile)
-    variants = list(VARIANTS)
-    if args.gpdeep_dir:
-        variants.append(("ATA_gpdeep",
+    variants = [(p, args.ckpt_dir, f) for p, f in VARIANTS]
+    for spec in args.extra_arm:
+        parts = spec.split(":")
+        prefix, ckpt_dir, m = parts[0], parts[1], int(parts[2])
+        hidden = (tuple(int(x) for x in parts[3].split(",") if x)
+                  if len(parts) > 3 else ())
+        variants.append((prefix, ckpt_dir,
                          dict(denoising=True, gp=True, iso=False,
-                              num_inducing=512, gp_hidden_dims=(8,))))
+                              num_inducing=m, gp_hidden_dims=hidden)))
     merged = {}
-    for prefix, flags in variants:
+    for prefix, ckpt_dir, flags in variants:
         eargs = EvalArgs(
             exp_name="solar", pred_len=96, seeds=tuple(args.seeds),
             attn_types=("ATA",), d_models=tuple(args.d_models),
             stack_sizes=tuple(args.stacks),
             model_prefix=prefix,
-            out_dir=(args.gpdeep_dir if prefix == "ATA_gpdeep"
-                     else args.ckpt_dir),
+            out_dir=ckpt_dir,
             max_samples=256, batch_size=64,
             **flags,
         )
