@@ -32,12 +32,52 @@ def init_exact_gp(d: int) -> ExactGPParams:
     )
 
 
+def psd_safe_cholesky(kxx: jnp.ndarray, max_tries: int = 3) -> jnp.ndarray:
+    """Cholesky with adaptive jitter escalation — the semantics of
+    gpytorch's ``psd_safe_cholesky`` the reference reaches through every
+    ``ExactGP`` solve: retry with jitter growing 10x (relative to the
+    mean diagonal) until the factorization is finite.  fp32 at n=384
+    needs this on non-stationary data: a trained outputscale of O(100)
+    with a near-constant kernel row space pushes the condition number
+    past fp32's ~1e7 and a fixed 1e-4 jitter NaNs (observed: 2 of 3
+    seeds of the exact-blur field run, results_r3/abl_field_exact).
+
+    Differentiability: the escalation PROBE runs on a stop-gradient copy
+    (a lax.while_loop carries no tangents, so reverse mode is legal);
+    the returned factorization is ONE differentiable Cholesky at the
+    probe-selected jitter."""
+    import jax.lax as lax
+
+    n = kxx.shape[0]
+    scale = jnp.mean(jnp.diagonal(kxx))
+    eye = jnp.eye(n, dtype=kxx.dtype)
+
+    k0 = lax.stop_gradient(kxx)
+    s0 = lax.stop_gradient(scale)
+
+    def probe(i):
+        return jnp.linalg.cholesky(k0 + (1e-4 * s0 * 10.0**i) * eye)
+
+    def cond(state):
+        i, chol = state
+        return jnp.logical_and(i < max_tries,
+                               ~jnp.all(jnp.isfinite(chol)))
+
+    def body(state):
+        i, _ = state
+        return i + 1.0, probe(i + 1.0)
+
+    i_sel, _ = lax.while_loop(cond, body, (0.0, probe(0.0)))
+    jitter = 1e-4 * s0 * 10.0**i_sel
+    return jnp.linalg.cholesky(kxx + jitter * eye)
+
+
 def _chol_factors(params: ExactGPParams, x: jnp.ndarray, y: jnp.ndarray):
     ls = softplus(params.raw_lengthscale)
     os_ = softplus(params.raw_outputscale)
-    noise = softplus(params.raw_noise) + 1e-4
+    noise = softplus(params.raw_noise)
     kxx = rbf_ard(x, x, ls, os_) + noise * jnp.eye(x.shape[0])
-    chol = jnp.linalg.cholesky(kxx)
+    chol = psd_safe_cholesky(kxx)
     resid = y - params.mean_const
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
     return ls, os_, chol, alpha

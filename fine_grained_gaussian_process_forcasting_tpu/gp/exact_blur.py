@@ -62,7 +62,30 @@ class ExactGPBlur(nn.Module):
             "bnd,bmd->bnm", xs, xs, preferred_element_type=jnp.float32)
         k = os_ * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
         a = k + noise * jnp.eye(x.shape[1], dtype=k.dtype)
-        chol = batched_cholesky(a) if self.use_pallas else jnp.linalg.cholesky(a)
+        fact = batched_cholesky if self.use_pallas else jnp.linalg.cholesky
+        # psd-safe escalation (gpytorch psd_safe_cholesky semantics, see
+        # gp/exact.py): probe on a stop-gradient copy for the smallest
+        # 10^i * 1e-4 * mean-diag jitter (shared across the batch) that
+        # factorizes finite, then ONE differentiable factorization.
+        # fp32 at s=384 NaNs under a trained outputscale of O(100) on
+        # non-stationary data (results_r3/abl_field_exact: 2/3 seeds).
+        eye = jnp.eye(x.shape[1], dtype=k.dtype)
+        a0 = jax.lax.stop_gradient(a)
+        s0 = jnp.mean(jnp.diagonal(a0, axis1=-2, axis2=-1))
+
+        def probe(i):
+            return fact(a0 + (1e-4 * s0 * 10.0**i) * eye)
+
+        def cond(state):
+            i, c = state
+            return jnp.logical_and(i < 3.0, ~jnp.all(jnp.isfinite(c)))
+
+        def body(state):
+            i, _ = state
+            return i + 1.0, probe(i + 1.0)
+
+        i_sel, _ = jax.lax.while_loop(cond, body, (0.0, probe(0.0)))
+        chol = fact(a + (1e-4 * s0 * 10.0**i_sel) * eye)
         return k, chol
 
     def smooth(self, x: jnp.ndarray) -> jnp.ndarray:
