@@ -62,8 +62,17 @@ class ExactGPBlur(nn.Module):
         noise = softplus(self.raw_noise) + _NOISE_FLOOR
         xs = x / ls
         x2 = jnp.sum(xs * xs, axis=-1)
+        # precision=HIGHEST is load-bearing: TPU DEFAULT precision runs
+        # this Gram GEMM on single-pass bf16 inputs while x2 stays exact
+        # fp32, an inconsistent decomposition whose ~2^-8|xs|^2 error is
+        # exp-amplified into an INDEFINITE K once lengthscales shrink in
+        # joint training — the (formerly mysterious) field-run forward
+        # NaN: a well-conditioned A whose factorization still failed
+        # (min eig -0.085 vs noise 0.38 on the captured batch;
+        # scripts/exact_blur_repro.py).
         d2 = x2[..., :, None] + x2[..., None, :] - 2.0 * jnp.einsum(
-            "bnd,bmd->bnm", xs, xs, preferred_element_type=jnp.float32)
+            "bnd,bmd->bnm", xs, xs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         k = os_ * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
         a = k + noise * jnp.eye(x.shape[1], dtype=k.dtype)
         fact = batched_cholesky if self.use_pallas else jnp.linalg.cholesky

@@ -29,15 +29,31 @@ def sq_dist(x: jnp.ndarray, z: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     ``compute_dtype=bfloat16`` runs the inner-product GEMM at the MXU's
     native rate with fp32 accumulation (squared norms stay fp32, from the
     same cast values so the d^2 decomposition remains consistent).
+
+    The fp32 path pins ``precision=HIGHEST``: TPU's DEFAULT matmul
+    precision feeds the MXU single-pass bf16 inputs, so the cross term
+    would carry ~2^-8 relative error while the norms stay exact fp32 —
+    an INCONSISTENT decomposition whose error scales with |x/ls|^2.
+    Once trained lengthscales shrink, exp(-0.5 d2) of that perturbation
+    makes the Gram matrix indefinite beyond any reasonable jitter and
+    the downstream Cholesky returns NaN (root-caused from a captured
+    field-run divergence; scripts/exact_blur_repro.py reproduces both
+    sides).  HIGHEST restores a consistent near-exact d2; the explicit
+    bf16 path is consistent by construction (distances of the *cast*
+    points) and keeps the fast single-pass GEMM.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         z = z.astype(compute_dtype)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
     xf = x.astype(jnp.float32)
     zf = z.astype(jnp.float32)
     x2 = jnp.sum(xf * xf, axis=-1)[..., :, None]
     z2 = jnp.sum(zf * zf, axis=-1)[None, :]
-    xz = jnp.einsum("...nd,md->...nm", x, z, preferred_element_type=jnp.float32)
+    xz = jnp.einsum("...nd,md->...nm", x, z,
+                    preferred_element_type=jnp.float32, precision=precision)
     return jnp.maximum(x2 + z2 - 2.0 * xz, 0.0)
 
 

@@ -231,3 +231,53 @@ def test_deep_gp_multilayer():
     total = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads["hidden_layer0"]))
     assert total > 0.0
+
+
+def test_gram_gemms_pin_highest_precision():
+    """The Gram GEMMs feeding a Cholesky must carry precision=HIGHEST.
+
+    On TPU, DEFAULT matmul precision feeds the MXU single-pass bf16
+    inputs; with fp32 norms that is an inconsistent |x|^2+|z|^2-2xz
+    decomposition whose exp-amplified error makes K indefinite once
+    lengthscales shrink — the root cause of the exact-blur field-run
+    forward NaN (a finite, well-conditioned A whose factorization
+    returned NaN; scripts/exact_blur_repro.py).  CPU executes either
+    precision identically, so this pins the CONTRACT via the jaxpr.
+    """
+    from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
+        ExactGPBlur,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import sq_dist
+
+    def _all_dots(jaxpr, acc):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                acc.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    _all_dots(inner, acc)
+        return acc
+
+    x = jnp.zeros((6, 4))
+    z = jnp.zeros((5, 4))
+    # fp32 path: the cross-term dot must be HIGHEST
+    jx = jax.make_jaxpr(lambda a, b: sq_dist(a, b))(x, z)
+    precs = _all_dots(jx.jaxpr, [])
+    assert any(p == (jax.lax.Precision.HIGHEST,) * 2 for p in precs), precs
+    # explicit bf16 path keeps the fast single-pass GEMM (consistent by
+    # construction: distances of the cast points)
+    jx16 = jax.make_jaxpr(
+        lambda a, b: sq_dist(a, b, compute_dtype=jnp.bfloat16))(x, z)
+    precs16 = _all_dots(jx16.jaxpr, [])
+    assert not any(p == (jax.lax.Precision.HIGHEST,) * 2 for p in precs16)
+
+    blur = ExactGPBlur(input_dims=4)
+    xb = jnp.zeros((2, 8, 4))
+    variables = blur.init(jax.random.PRNGKey(0), xb)
+
+    jb = jax.make_jaxpr(
+        lambda v, a: blur.apply(v, a, method=ExactGPBlur._factor)
+    )(variables, xb)
+    precs_b = _all_dots(jb.jaxpr, [])
+    assert any(p == (jax.lax.Precision.HIGHEST,) * 2 for p in precs_b), precs_b
