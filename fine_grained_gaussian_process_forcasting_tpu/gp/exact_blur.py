@@ -55,8 +55,6 @@ class ExactGPBlur(nn.Module):
         """x: (b, s, d) -> (K, L) with A = K + noise I = L L^T."""
         # 1e-3 floor: softplus alone can underflow to 0 under joint
         # training, and xs = x/ls then overflows (d2 = inf-inf = NaN).
-        # Guards that failure mode; the residual field-run instability
-        # is a different forward event (NOTES.md "Known gaps")
         ls = softplus(self.raw_lengthscale) + 1e-3
         os_ = softplus(self.raw_outputscale)
         noise = softplus(self.raw_noise) + _NOISE_FLOOR

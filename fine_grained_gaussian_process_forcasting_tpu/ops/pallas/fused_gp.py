@@ -88,7 +88,15 @@ def _fwd_kernel(bf16, affine, xs_ref, zs_ref, u_ref, w_ref, os_ref,
     z = zs_ref[:]  # (M, d)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (TR, 1)
     z2 = jnp.sum(z * z, axis=-1, keepdims=True)  # (M, 1)
-    # the distance GEMM stays fp32: exp() amplifies rounding in d2
+    # the distance GEMM runs at Mosaic's default fp32 dot (multi-pass
+    # bf16, ~2^-11 effective) — deliberately NOT precision=HIGHEST.
+    # This is the same decomposition-inconsistency class as the
+    # kernels.sq_dist TPU bug, but here nothing downstream factorizes:
+    # the only cost is marginal accuracy (posterior-mean error 2.8e-4
+    # vs 2.3e-6 with HIGHEST, measured), while HIGHEST cost a measured
+    # +34% kernel time (0.49 -> 0.66 ms flagship fwd+grad) and dropped
+    # the d128 bf16 kernel from 53% to 41% of peak — exp() keeps
+    # k in [0, os] regardless, so the tradeoff is safe by construction.
     d2 = x2 + z2.T - 2.0 * jnp.dot(x, z.T, preferred_element_type=jnp.float32)
     k = os_ * jnp.exp(-0.5 * d2)  # (TR, M)
     g = _dot16(k, w_ref[:], bf16)  # (TR, M) — the dominant GEMM
