@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="global-norm gradient clipping; 0 = off "
                              "(reference semantics). Opt-in mitigation "
                              "for warmup-phase seed divergence")
+    parser.add_argument("--nonfinite_guard", type=str, default="off",
+                        choices=["off", "raise", "skip"],
+                        help="non-finite-loss handling: off = reference "
+                             "semantics (NaN poisons the run), raise = "
+                             "fail with the first bad step's index, skip "
+                             "= drop bad updates (optax.apply_if_finite)")
     parser.add_argument("--max_valid_samples", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the study")
@@ -176,6 +182,7 @@ def main(argv=None):
                 d_model_choices=tuple(args.d_model_choices),
                 stack_choices=tuple(args.stack_choices),
                 clip_grad_norm=args.clip_grad_norm,
+                nonfinite_guard=args.nonfinite_guard,
             )
             if args.multiseed:
                 from fine_grained_gaussian_process_forcasting_tpu.train.harness import (

@@ -78,6 +78,10 @@ class HarnessArgs:
     # semantics; >0 mitigates the warmup-phase seed divergence of the
     # iso/no-denoise arms — RESULTS.md seed-stability table)
     clip_grad_norm: float = 0.0
+    # non-finite-loss handling: 'off' (reference semantics: NaN poisons
+    # the run), 'raise' (fail with the first bad step's index), 'skip'
+    # (drop bad updates via optax.apply_if_finite) — train.trainer
+    nonfinite_guard: str = "off"
 
 
 class ExperimentHarness:
@@ -264,7 +268,8 @@ class ExperimentHarness:
         model = self._make_model(d_model, stack_size)
         trainer = Trainer(model, d_model=d_model, warmup_steps=w_steps,
                           mesh=self.mesh,
-                          clip_grad_norm=self.args.clip_grad_norm)
+                          clip_grad_norm=self.args.clip_grad_norm,
+                          nonfinite_guard=self.args.nonfinite_guard)
 
         train_dev = trainer.device_put_split(self.train_data)
         valid_dev = trainer.device_put_split(self.valid_data)
@@ -447,7 +452,8 @@ class MultiSeedExperimentHarness(ExperimentHarness):
         trainer = MultiSeedTrainer(model, d_model=d_model,
                                    n_seeds=len(self.seeds),
                                    warmup_steps=w_steps,
-                                   clip_grad_norm=self.args.clip_grad_norm)
+                                   clip_grad_norm=self.args.clip_grad_norm,
+                                   nonfinite_guard=self.args.nonfinite_guard)
 
         train_dev = tuple(jax.device_put(a) for a in (
             self.train_data.enc, self.train_data.dec, self.train_data.y))

@@ -37,11 +37,19 @@ class MultiSeedTrainer:
 
     def __init__(self, model, d_model: int, n_seeds: int,
                  warmup_steps: int = 4000, lr_mul: float = 2.0,
-                 clip_grad_norm: float = 0.0):
+                 clip_grad_norm: float = 0.0, nonfinite_guard: str = "off"):
+        """``nonfinite_guard`` as in ``train.Trainer``; 'raise' checks at
+        epoch granularity here (per-seed step indices would vary across
+        the vmap axis), 'skip' drops bad updates per seed independently
+        via the vmapped ``optax.apply_if_finite`` state."""
+        if nonfinite_guard not in ("off", "raise", "skip"):
+            raise ValueError(f"nonfinite_guard={nonfinite_guard!r}")
         self.model = model
         self.n_seeds = n_seeds
+        self.nonfinite_guard = nonfinite_guard
         self.optimizer = noam_adam(d_model, warmup_steps, lr_mul,
-                                   clip_grad_norm=clip_grad_norm)
+                                   clip_grad_norm=clip_grad_norm,
+                                   nonfinite_guard=nonfinite_guard)
         self._build()
 
     def _build(self):
@@ -122,9 +130,20 @@ class MultiSeedTrainer:
         enc, dec, y = data
         params, opt_state, rngs, loss, mse = self._train_epoch(
             state.params, state.opt_state, state.rngs, enc, dec, y)
+        loss = np.asarray(loss)
+        if self.nonfinite_guard == "raise" and not np.all(np.isfinite(loss)):
+            from fine_grained_gaussian_process_forcasting_tpu.train.trainer import (
+                NonFiniteLossError,
+            )
+
+            bad = np.flatnonzero(~np.isfinite(loss)).tolist()
+            raise NonFiniteLossError(
+                f"non-finite training loss for seed indices {bad} in the "
+                f"epoch ending at global step {state.step + enc.shape[0]}",
+                step=state.step)
         return (MultiSeedState(params, opt_state, rngs,
                                state.step + enc.shape[0]),
-                np.asarray(loss), np.asarray(mse))
+                loss, np.asarray(mse))
 
     def eval_epoch(self, state: MultiSeedState, data):
         enc, dec, y = data

@@ -30,6 +30,14 @@ class TrainState:
     step: int = 0
 
 
+class NonFiniteLossError(RuntimeError):
+    """Raised by ``nonfinite_guard='raise'`` with the offending step."""
+
+    def __init__(self, msg: str, step: int = -1):
+        super().__init__(msg)
+        self.step = step
+
+
 class Trainer:
     """Wraps a ForecastDenoising-like Flax model with jitted epoch-level
     train/eval functions.
@@ -46,10 +54,21 @@ class Trainer:
         lr_mul: float = 2.0,
         mesh: Optional[Mesh] = None,
         clip_grad_norm: float = 0.0,
+        nonfinite_guard: str = "off",
     ):
+        """``nonfinite_guard``: production fault detection the reference
+        lacks (its NaNs silently poison the run, ``train.py:158-167``).
+        'off' = reference semantics; 'raise' = fail the epoch with the
+        first non-finite step's index (the divergence-bisect primitive,
+        built after the exact-blur hunt); 'skip' = drop bad updates via
+        ``optax.apply_if_finite`` and keep training."""
+        if nonfinite_guard not in ("off", "raise", "skip"):
+            raise ValueError(f"nonfinite_guard={nonfinite_guard!r}")
         self.model = model
+        self.nonfinite_guard = nonfinite_guard
         self.optimizer = noam_adam(d_model, warmup_steps, lr_mul,
-                                   clip_grad_norm=clip_grad_norm)
+                                   clip_grad_norm=clip_grad_norm,
+                                   nonfinite_guard=nonfinite_guard)
         self.mesh = mesh
         self._build()
 
@@ -81,7 +100,12 @@ class Trainer:
             (params, opt_state, rng), (losses, mses) = jax.lax.scan(
                 train_step, (params, opt_state, rng), (enc, dec, y)
             )
-            return params, opt_state, rng, jnp.sum(losses), jnp.sum(mses)
+            # index of the first non-finite per-step loss (-1 if none):
+            # the nonfinite_guard's reporting signal, ~free to compute
+            bad = ~jnp.isfinite(losses)
+            first_bad = jnp.where(jnp.any(bad), jnp.argmax(bad), -1)
+            return (params, opt_state, rng, jnp.sum(losses),
+                    jnp.sum(mses), first_bad)
 
         def eval_epoch(params, rng, enc, dec, y):
             # fresh noise per eval batch (the reference draws
@@ -147,9 +171,17 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, data) -> Tuple[TrainState, float, float]:
         enc, dec, y = data
-        params, opt_state, rng, loss, mse = self._train_epoch(
+        params, opt_state, rng, loss, mse, first_bad = self._train_epoch(
             state.params, state.opt_state, state.rng, enc, dec, y
         )
+        if self.nonfinite_guard == "raise":
+            bad = int(first_bad)
+            if bad >= 0:
+                raise NonFiniteLossError(
+                    f"non-finite training loss at batch {bad} of this "
+                    f"epoch (global step ~{state.step + bad}); see "
+                    "scripts/exact_blur_bisect.py for the step-level "
+                    "localization workflow", step=state.step + bad)
         return (
             TrainState(params, opt_state, rng, state.step + enc.shape[0]),
             float(loss),
