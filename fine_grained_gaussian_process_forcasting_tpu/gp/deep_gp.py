@@ -37,6 +37,7 @@ from typing import NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import rbf_ard, softplus
 
@@ -76,6 +77,13 @@ class _VariationalLayer(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None  # bf16 runs the two heavy
     # GEMMs (cross-covariance inner product, whitened solve) at the MXU's
     # native rate with fp32 accumulation; params/Cholesky/exp stay fp32
+    ls_init: float = 0.0  # initial LENGTHSCALE value; 0.0 = reference
+    # init (raw zeros => ls ~ 0.693, gpytorch's softplus default), which
+    # in d=32 makes every cross-covariance to the N(0,1) inducing points
+    # ~exp(-d) ~ 0 — the GP component is born inert and (measured) never
+    # trains out of it.  < 0 = 'auto': sqrt(2 d), the expected pairwise
+    # distance scale, so kernels engage from step one (RESULTS.md
+    # "activating the GP")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -89,8 +97,14 @@ class _VariationalLayer(nn.Module):
                               (*batch, m))
         var_log_std = self.param(
             "variational_log_stddev", nn.initializers.zeros, (*batch, m))
-        raw_ls = self.param("raw_lengthscale", nn.initializers.zeros,
-                            (*batch, d))
+        if self.ls_init == 0.0:
+            ls_init_fn = nn.initializers.zeros
+        else:
+            ls0 = float(np.sqrt(2.0 * d)) if self.ls_init < 0 \
+                else float(self.ls_init)
+            raw0 = float(np.log(np.expm1(ls0)))  # softplus^-1
+            ls_init_fn = nn.initializers.constant(raw0)
+        raw_ls = self.param("raw_lengthscale", ls_init_fn, (*batch, d))
         raw_os = self.param("raw_outputscale", nn.initializers.zeros, batch)
         mean_w = self.param("mean_weight", nn.initializers.normal(1.0 / d),
                             (*batch, d))
@@ -203,6 +217,7 @@ class DeepGP(nn.Module):
     use_fused: bool = False
     hidden_dims: Tuple[int, ...] = ()
     compute_dtype: Optional[jnp.dtype] = None
+    ls_init: float = 0.0  # see _VariationalLayer.ls_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> GPPosterior:
@@ -217,6 +232,7 @@ class DeepGP(nn.Module):
                 num_inducing=self.num_inducing, use_pallas=self.use_pallas,
                 use_fused=self.use_fused,
                 compute_dtype=self.compute_dtype,
+                ls_init=self.ls_init,
                 name=f"hidden_layer{i}",
             )(x)
             total_kl = total_kl + kl
@@ -234,6 +250,7 @@ class DeepGP(nn.Module):
             num_inducing=self.num_inducing, use_pallas=self.use_pallas,
             use_fused=self.use_fused,
             compute_dtype=self.compute_dtype,
+            ls_init=self.ls_init,
             name="output_layer",
         )(x)
         total_kl = total_kl + kl

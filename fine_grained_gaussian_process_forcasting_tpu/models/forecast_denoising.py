@@ -87,6 +87,10 @@ class ForecastDenoising(nn.Module):
     # forecaster's matmul path; the GP/losses stay fp32
     gp_compute_dtype: Optional[jnp.dtype] = None  # bf16 for the GP's two
     # heavy GEMMs (fp32 accumulation; Cholesky/exp/KL stay fp32)
+    gp_ls_init: float = 0.0  # GP lengthscale init: 0.0 = reference
+    # (gpytorch softplus default ~0.693, which leaves the kernel inert in
+    # d=32 — measured); <0 = auto sqrt(2 d); >0 = explicit value.
+    # See gp/deep_gp.py ls_init.
 
     def setup(self):
         d = self.d_model
@@ -123,6 +127,7 @@ class ForecastDenoising(nn.Module):
                 use_fused=self.use_fused_gp,
                 hidden_dims=tuple(self.gp_hidden_dims),
                 compute_dtype=self.gp_compute_dtype,
+                ls_init=self.gp_ls_init,
             )
         self.proj_up = nn.Dense(d)
         self.norm = nn.LayerNorm(epsilon=1e-5)  # denoiser's (unused) norm kept

@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "--gp_hidden_dims 8 (1 hidden layer of width 8)")
     parser.add_argument("--gp_kind", type=str, default="variational",
                         choices=["variational", "exact"])
+    parser.add_argument("--gp_ls_init", type=str, default="0",
+                        help="GP lengthscale init: 0 = reference (inert "
+                             "in d=32, see RESULTS.md 'activating the "
+                             "GP'), 'auto' = sqrt(2 d_model), or an "
+                             "explicit float lengthscale")
     parser.add_argument("--max_train_samples", type=int, default=None)
     parser.add_argument("--clip_grad_norm", type=float, default=0.0,
                         help="global-norm gradient clipping; 0 = off "
@@ -177,6 +182,8 @@ def main(argv=None):
                 num_inducing=args.num_inducing,
                 gp_hidden_dims=tuple(args.gp_hidden_dims),
                 gp_kind=args.gp_kind,
+                gp_ls_init=(-1.0 if args.gp_ls_init == "auto"
+                            else float(args.gp_ls_init)),
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,
                 d_model_choices=tuple(args.d_model_choices),

@@ -67,6 +67,8 @@ class HarnessArgs:
     num_inducing: int = 256
     gp_hidden_dims: tuple = ()  # extra deep-GP hidden layers
     gp_kind: str = "variational"  # or 'exact' (full-sequence GP stretch)
+    gp_ls_init: float = 0.0  # GP lengthscale init (0 = reference inert
+    # init; <0 = auto sqrt(2 d); >0 explicit) — models/forecast_denoising
     # HPO space overrides (reference defaults when None)
     d_model_choices: Tuple[int, ...] = (32, 16)
     stack_choices: Tuple[int, ...] = (1, 3)
@@ -245,6 +247,7 @@ class ExperimentHarness:
             num_inducing=self.args.num_inducing,
             gp_hidden_dims=tuple(self.args.gp_hidden_dims),
             gp_kind=self.args.gp_kind,
+            gp_ls_init=self.args.gp_ls_init,
             use_pallas_gp=self.args.use_pallas_gp,
             use_pallas_attention=self.args.use_pallas_attention,
             use_fused_gp=self.args.use_fused_gp,

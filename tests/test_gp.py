@@ -281,3 +281,51 @@ def test_gram_gemms_pin_highest_precision():
     )(variables, xb)
     precs_b = _all_dots(jb.jaxpr, [])
     assert any(p == (jax.lax.Precision.HIGHEST,) * 2 for p in precs_b), precs_b
+
+
+def test_ls_init_auto_engages_the_gp():
+    """ls_init<0 (auto sqrt(2d)) must make the GP component live.
+
+    At the reference init (ls ~ 0.693) every cross-covariance between
+    d=32-scale inputs and N(0,1) inducing points is ~exp(-d) ~ 0: the
+    posterior stays pinned at the prior and gradients into the inducing
+    geometry are ~1e-12 (measured on TPU — the basis of the
+    "inducing-count invariance" analysis).  The auto init puts the
+    lengthscale at the expected pairwise distance scale so the kernel
+    engages from step one.
+    """
+    from fine_grained_gaussian_process_forcasting_tpu.gp.deep_gp import DeepGP
+
+    d = 32
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, d),
+                    dtype=jnp.float32)
+
+    def grad_norm_into_inducing(ls_init):
+        gp = DeepGP(input_dims=d, num_inducing=64, use_fused=False,
+                    ls_init=ls_init)
+        v = gp.init({"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)}, x)
+        p = v["params"]
+        # move q off the whitened fixed point so chol_inv matters
+        p["output_layer"]["variational_mean"] = jnp.asarray(
+            np.random.RandomState(2).randn(64), dtype=jnp.float32)
+
+        def loss(p):
+            post = gp.apply({"params": p}, x,
+                            rngs={"noise": jax.random.PRNGKey(2)})
+            return jnp.sum(post.mean ** 2) + jnp.sum(post.var)
+
+        g = jax.grad(loss)(p)
+        return float(jnp.linalg.norm(g["output_layer"]["inducing_points"]))
+
+    inert = grad_norm_into_inducing(0.0)
+    live = grad_norm_into_inducing(-1.0)
+    assert inert < 1e-6, inert
+    assert live > 1e-3, live
+    # the explicit-value form gives softplus(raw) == value
+    gp = DeepGP(input_dims=d, num_inducing=8, ls_init=5.0)
+    v = gp.init({"params": jax.random.PRNGKey(0),
+                 "noise": jax.random.PRNGKey(1)}, x)
+    raw = v["params"]["output_layer"]["raw_lengthscale"]
+    np.testing.assert_allclose(np.log1p(np.exp(np.asarray(raw))), 5.0,
+                               rtol=1e-5)
