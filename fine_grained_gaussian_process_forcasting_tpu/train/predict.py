@@ -28,28 +28,48 @@ from fine_grained_gaussian_process_forcasting_tpu.train.checkpoint import (
 
 class InferenceSession:
     def __init__(self, model: ForecastDenoising, params,
-                 batch_size: int = 256):
+                 batch_size: int = 256, quantize: Optional[str] = None):
+        """``quantize='int8'`` serves every Dense projection through the
+        int8 MXU path (weight-per-channel / activation-per-token dynamic
+        PTQ, ``train/quantize.py``) — ~2x the bf16 GEMM rate on v5e; the
+        GP stack, normalization and correlation math stay fp32."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r} (None or 'int8')")
         self.model = model
         self.params = params
         self.batch_size = batch_size
+        self.quantize = quantize
+
+        import flax.linen as nn
+
+        from fine_grained_gaussian_process_forcasting_tpu.train.quantize import (
+            int8_dense_interceptor,
+        )
 
         @jax.jit
         def _forward(params, enc, dec):
-            out = model.apply(
-                {"params": params}, enc, dec, training=False,
-                rngs={"noise": jax.random.PRNGKey(0),
-                      "sampling": jax.random.PRNGKey(1)})
-            return out.predictions
+            def run():
+                out = model.apply(
+                    {"params": params}, enc, dec, training=False,
+                    rngs={"noise": jax.random.PRNGKey(0),
+                          "sampling": jax.random.PRNGKey(1)})
+                return out.predictions
+
+            if quantize == "int8":
+                with nn.intercept_methods(int8_dense_interceptor):
+                    return run()
+            return run()
 
         self._forward = _forward
 
     @classmethod
     def from_checkpoint(cls, model: ForecastDenoising, model_path: str,
                         model_name: str, template_params,
-                        batch_size: int = 256) -> "InferenceSession":
+                        batch_size: int = 256,
+                        quantize: Optional[str] = None) -> "InferenceSession":
         payload = load_checkpoint(model_path, model_name,
                                   template={"params": template_params})
-        return cls(model, payload["params"], batch_size)
+        return cls(model, payload["params"], batch_size, quantize=quantize)
 
     def predict(self, enc: np.ndarray, dec: np.ndarray) -> np.ndarray:
         """(N, enc_len, F), (N, dec_len, F) -> (N, pred_len, 1); pads the

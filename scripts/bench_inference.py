@@ -29,15 +29,30 @@ ENC_LEN, DEC_LEN, F = 192, 96, 4
 D_MODEL, HEADS, STACK, INDUCING = 32, 8, 1, 256
 
 
-def bench_batch(model, params, b, iters=100):
-    enc = jax.random.normal(jax.random.PRNGKey(1), (b, ENC_LEN, F))
-    dec = jax.random.normal(jax.random.PRNGKey(2), (b, DEC_LEN, F))
+def bench_batch(model, params, b, iters=100, quantize=None,
+                enc_len=None, dec_len=None, feats=None):
+    enc_len, dec_len, feats = (enc_len or ENC_LEN, dec_len or DEC_LEN,
+                               feats or F)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (b, enc_len, feats))
+    dec = jax.random.normal(jax.random.PRNGKey(2), (b, dec_len, feats))
 
     def fwd(e):
-        out = model.apply({"params": params}, e, dec, training=False,
-                          rngs={"noise": jax.random.PRNGKey(0),
-                                "sampling": jax.random.PRNGKey(1)})
-        return out.predictions
+        def run():
+            out = model.apply({"params": params}, e, dec, training=False,
+                              rngs={"noise": jax.random.PRNGKey(0),
+                                    "sampling": jax.random.PRNGKey(1)})
+            return out.predictions
+
+        if quantize == "int8":
+            import flax.linen as nn
+
+            from fine_grained_gaussian_process_forcasting_tpu.train.quantize import (
+                int8_dense_interceptor,
+            )
+
+            with nn.intercept_methods(int8_dense_interceptor):
+                return run()
+        return run()
 
     def step(carry, _):
         acc, e = carry
@@ -88,6 +103,29 @@ def main():
         r = bench_batch(model, params, b)
         out[f"b{b}_ms"] = round(r["ms"], 3)
         out[f"b{b}_windows_per_sec"] = round(r["windows_per_sec"])
+        r8 = bench_batch(model, params, b, quantize="int8")
+        out[f"b{b}_int8_ms"] = round(r8["ms"], 3)
+        out[f"b{b}_int8_windows_per_sec"] = round(r8["windows_per_sec"])
+    print(json.dumps(out))
+
+    # production width: where the Dense GEMMs dominate and int8 pays
+    dm, el, dl, ft = 512, 512, 128, 8
+    big = ForecastDenoising(
+        src_input_size=ft, tgt_input_size=ft, d_model=dm, n_heads=8,
+        d_k=dm // 8, stack_size=2, pred_len=dl, attn_type="autoformer",
+        gp=True, denoise=True, num_inducing=INDUCING)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, el, ft))
+    dec = jax.random.normal(jax.random.PRNGKey(2), (1, dl, ft))
+    params = big.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(3),
+         "sampling": jax.random.PRNGKey(4)}, enc, dec)["params"]
+    out = {"config": "AutoDG d512 eval forward (enc 512, pred 128)"}
+    for b in (16, 64):
+        for tag, q in (("", None), ("int8_", "int8")):
+            r = bench_batch(big, params, b, iters=20, quantize=q,
+                            enc_len=el, dec_len=dl, feats=ft)
+            out[f"b{b}_{tag}ms"] = round(r["ms"], 3)
+            out[f"b{b}_{tag}windows_per_sec"] = round(r["windows_per_sec"])
     print(json.dumps(out))
 
 
