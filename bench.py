@@ -215,7 +215,7 @@ def bench_prod_step(steps: int = 5) -> dict:
     sec_per_step = (t_hi - t_lo) / (steps_hi - steps)
     tflops = step_flops / sec_per_step / 1e12
     return {"ms": 1e3 * sec_per_step, "tflops": tflops,
-            "pct_of_bf16_peak": 100.0 * tflops / 197.0}
+            "pct_of_bf16_peak": 100.0 * tflops / _V5E_BF16_PEAK_TFLOPS}
 
 
 def gp_physical_flops(d_model: int, rows: int, m: int) -> float:

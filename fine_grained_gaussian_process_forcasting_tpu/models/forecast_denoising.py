@@ -114,6 +114,12 @@ class ForecastDenoising(nn.Module):
         self.dec_embedding = nn.Dense(d)
         self.final_projection = nn.Dense(1)
         if self.gp_kind == "exact":
+            if self.gp_ls_init != 0.0:
+                raise ValueError(
+                    "gp_ls_init applies to the variational DeepGP only; "
+                    "the exact blur's kernel operates on within-sequence "
+                    "distances and keeps its own init (gp/exact_blur.py) "
+                    "— drop --gp_ls_init or use gp_kind='variational'")
             from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
                 ExactGPBlur,
             )

@@ -104,7 +104,10 @@ class MultiSeedTrainer:
             # axes: (batches, seeds, ...) -> per-seed sums
             return jnp.sum(losses, 0), jnp.sum(mses, 0), preds
 
-        self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+        # as in train.Trainer: 'raise' mode keeps the caller's state
+        # buffers alive for post-catch inspection
+        donate = () if self.nonfinite_guard == "raise" else (0, 1)
+        self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
         self._eval_epoch = jax.jit(eval_epoch)
 
     # ------------------------------------------------------------------ #

@@ -92,17 +92,23 @@ class Trainer:
             (loss, mse), grads = grad_fn(
                 params, {"noise": r1, "sampling": r2}, enc, dec, y
             )
+            # per-step health: loss AND grads (a step whose grads are the
+            # first non-finite value still has a finite loss — attributing
+            # by loss alone would blame the NEXT batch)
+            ok = jnp.isfinite(loss) & jnp.all(jnp.array(
+                [jnp.all(jnp.isfinite(g))
+                 for g in jax.tree_util.tree_leaves(grads)]))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), (loss, mse)
+            return (params, opt_state, rng), (loss, mse, ok)
 
         def train_epoch(params, opt_state, rng, enc, dec, y):
-            (params, opt_state, rng), (losses, mses) = jax.lax.scan(
+            (params, opt_state, rng), (losses, mses, oks) = jax.lax.scan(
                 train_step, (params, opt_state, rng), (enc, dec, y)
             )
-            # index of the first non-finite per-step loss (-1 if none):
-            # the nonfinite_guard's reporting signal, ~free to compute
-            bad = ~jnp.isfinite(losses)
+            # index of the first unhealthy step (-1 if none): the
+            # nonfinite_guard's reporting signal, ~free to compute
+            bad = ~oks
             first_bad = jnp.where(jnp.any(bad), jnp.argmax(bad), -1)
             return (params, opt_state, rng, jnp.sum(losses),
                     jnp.sum(mses), first_bad)
@@ -125,7 +131,10 @@ class Trainer:
                 step, jnp.zeros((), jnp.uint32), (enc, dec, y))
             return jnp.sum(losses), jnp.sum(mses), preds
 
-        donate = (0, 1)
+        # 'raise' mode must NOT donate: the caller's advertised workflow
+        # is catch-the-error-then-inspect-pre-epoch-state, and donated
+        # params/opt_state buffers are deleted by the jit call
+        donate = () if self.nonfinite_guard == "raise" else (0, 1)
         self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
         self._eval_epoch = jax.jit(eval_epoch)
 

@@ -36,23 +36,21 @@ def bench_batch(model, params, b, iters=100, quantize=None,
     enc = jax.random.normal(jax.random.PRNGKey(1), (b, enc_len, feats))
     dec = jax.random.normal(jax.random.PRNGKey(2), (b, dec_len, feats))
 
+    from fine_grained_gaussian_process_forcasting_tpu.train.quantize import (
+        build_qparams,
+        quantized_apply,
+    )
+
+    qmap = build_qparams(params) if quantize == "int8" else {}
+
     def fwd(e):
-        def run():
+        # same path InferenceSession serves: pre-quantized weights via
+        # the shared quantized_apply context
+        with quantized_apply(quantize, lambda: qmap):
             out = model.apply({"params": params}, e, dec, training=False,
                               rngs={"noise": jax.random.PRNGKey(0),
                                     "sampling": jax.random.PRNGKey(1)})
-            return out.predictions
-
-        if quantize == "int8":
-            import flax.linen as nn
-
-            from fine_grained_gaussian_process_forcasting_tpu.train.quantize import (
-                int8_dense_interceptor,
-            )
-
-            with nn.intercept_methods(int8_dense_interceptor):
-                return run()
-        return run()
+        return out.predictions
 
     def step(carry, _):
         acc, e = carry

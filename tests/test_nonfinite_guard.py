@@ -53,6 +53,11 @@ def test_raise_mode_reports_first_bad_step():
     with pytest.raises(NonFiniteLossError, match="batch 2") as ei:
         trainer.train_epoch(state, data)
     assert ei.value.step == 2
+    # the advertised catch-and-bisect workflow: pre-epoch state must
+    # survive the raising call (raise mode does not donate buffers)
+    trainer.eval_epoch(state, data)  # would fail on deleted buffers
+    assert all(bool(jnp.all(jnp.isfinite(p)))
+               for p in jax.tree_util.tree_leaves(state.params))
 
 
 def test_raise_mode_clean_run_passes():
