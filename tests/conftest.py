@@ -66,6 +66,13 @@ _SLOW = {
     ("test_model_and_train.py", "test_forecast_denoising_modes"),
     ("test_pallas_kernels.py", "test_rbf_pallas_gradients_match"),
     ("test_baselines.py", "test_deepar_forward_and_nll"),
+    # third trim (fast tier crept to 5m51s as guard/quantize/multiseed
+    # suites grew): full-training-loop tests whose contract behavior is
+    # covered by cheaper siblings left in the fast tier
+    ("test_nonfinite_guard.py", "test_multiseed_guard"),
+    ("test_nonfinite_guard.py", "test_skip_matches_off_on_clean_data"),
+    ("test_quantize.py", "test_int8_session_close_to_fp32_session"),
+    ("test_multiseed.py", "test_multiseed_eval_and_divergence"),
 }
 
 
