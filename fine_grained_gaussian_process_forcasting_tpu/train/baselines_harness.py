@@ -1,4 +1,4 @@
-"""Baseline-model harness: DeepAR / N-BEATS / DLinear on univariate windows.
+"""Baseline-model harness: DeepAR / N-BEATS / DLinear / CMGP on univariate windows.
 
 Re-design of the reference's ``Baselines`` class (``baselines.py:43-301``):
 same HPO space (``d_model in {32,64}``, ``stack in {1,2}`` — N-BEATS pinned
@@ -27,6 +27,7 @@ from fine_grained_gaussian_process_forcasting_tpu.models.deepar import (
     DeepAR,
     deepar_nll,
 )
+from fine_grained_gaussian_process_forcasting_tpu.models.cmgp import CMGP
 from fine_grained_gaussian_process_forcasting_tpu.models.dlinear import DLinear
 from fine_grained_gaussian_process_forcasting_tpu.models.nbeats import NBeats
 from fine_grained_gaussian_process_forcasting_tpu.train import hpo
@@ -39,7 +40,7 @@ from fine_grained_gaussian_process_forcasting_tpu.train.schedule import noam_ada
 @dataclasses.dataclass
 class BaselineArgs:
     exp_name: str = "solar"
-    model_name: str = "DLinear"  # DeepAR | NBeats | DLinear
+    model_name: str = "DLinear"  # DeepAR | NBeats | DLinear | CMGP
     pred_len: int = 96
     seed: int = 1234
     n_trials: int = 5
@@ -92,6 +93,9 @@ class BaselinesHarness:
         if self.model_id == "NBeats":
             return NBeats(backcast_length=L, forecast_length=self.pred_len,
                           hidden_layer_units=d_model)
+        if self.model_id == "CMGP":
+            # stack_size -> number of convolved latent processes
+            return CMGP(pred_len=self.pred_len, n_latent=stack_size)
         return DLinear(seq_len=L, pred_len=self.pred_len)
 
     def _loss(self, model, params, x, y):
@@ -106,6 +110,9 @@ class BaselinesHarness:
         if self.model_id == "NBeats":
             _, forecast = model.apply({"params": params}, x)
             return jnp.mean((y[..., 0] - forecast) ** 2)
+        if self.model_id == "CMGP":
+            # GP hyperparameters train by exact marginal likelihood
+            return model.apply({"params": params}, x, y, method="nll")
         out = model.apply({"params": params}, x)
         return jnp.mean((y - out) ** 2)
 

@@ -40,7 +40,7 @@ def main():
                                profile="field")
     os.makedirs(args.out_dir, exist_ok=True)
     results = {}
-    for model in ("DLinear", "NBeats", "DeepAR"):
+    for model in ("DLinear", "NBeats", "DeepAR", "CMGP"):
         h = BaselinesHarness(raw, BaselineArgs(
             exp_name="solar", model_name=model, pred_len=args.pred_len,
             n_trials=args.n_trials, num_epochs=args.epochs,

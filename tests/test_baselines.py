@@ -149,3 +149,85 @@ def test_univariate_loader_shapes():
     # history and target must be contiguous: last x_dec step precedes y
     xe, xd, y = next(iter(loader.train_loader))
     assert np.isfinite(xe).all() and np.isfinite(y).all()
+
+
+# --------------------------------------------------------------------- #
+# CMGP (convolved-process GP baseline; fills the reference grid's CMGP
+# column, Additional-baselines.pdf Table 1 — no code ships with the ref)
+
+def _cmgp_setup(L=48, H=12, b=6, seed=9):
+    from fine_grained_gaussian_process_forcasting_tpu.models.cmgp import CMGP
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(L + H) / 24.0
+    y = (np.sin(2 * np.pi * t / 2.5)[None]
+         + 0.3 * rng.normal(size=(b, 1))) + 0.02 * rng.normal(size=(b, L + H))
+    y = y.astype(np.float32)
+    model = CMGP(pred_len=H, n_latent=2)
+    x_hist = jnp.asarray(y[:, :L, None])
+    y_fut = jnp.asarray(y[:, L:, None])
+    params = model.init(jax.random.PRNGKey(0), x_hist)["params"]
+    return model, params, x_hist, y_fut
+
+
+def test_cmgp_nll_matches_naive_mvn():
+    """Module NLL == dense multivariate-normal logpdf computed in numpy."""
+    from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import (
+        softplus,
+    )
+
+    model, params, x, y = _cmgp_setup()
+    got = float(model.apply({"params": params}, x, y, method="nll"))
+
+    w = np.asarray(softplus(jnp.asarray(params["raw_width"])), np.float64)
+    s = np.asarray(softplus(jnp.asarray(params["raw_scale"])), np.float64)
+    noise = float(softplus(jnp.asarray(params["raw_noise"])))
+    mean = float(params["mean_const"])
+    z = np.concatenate([np.asarray(x), np.asarray(y)], axis=1)[..., 0]
+    T = z.shape[1]
+    tg = np.arange(T) / 24.0
+    d2 = (tg[:, None] - tg[None, :]) ** 2
+    K = sum(s[q] * np.exp(-d2 / (4.0 * w[q] ** 2)) for q in range(len(w)))
+    K += (noise + model.jitter) * np.eye(T)
+    Ki = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+    quad = np.mean(np.einsum("bi,ij,bj->b", z - mean, Ki, z - mean))
+    ref = 0.5 * (quad + logdet + T * np.log(2 * np.pi)) / T
+    # fp32 Cholesky vs fp64 dense inverse on a smooth (ill-conditioned)
+    # kernel: agreement to ~0.3% is the fp32 limit here
+    np.testing.assert_allclose(got, ref, rtol=1e-2)
+
+
+def test_cmgp_posterior_interpolates_smooth_series():
+    """Near-noiseless smooth series: the first forecast steps continue it."""
+    model, params, x, y = _cmgp_setup(seed=3)
+    pred = np.asarray(model.apply({"params": params}, x))
+    assert pred.shape == np.asarray(y).shape
+    # short-range extrapolation of a smooth sine beats mean prediction
+    err_gp = np.mean((pred[:, :4, 0] - np.asarray(y)[:, :4, 0]) ** 2)
+    err_mean = np.mean(
+        (np.asarray(x).mean(axis=1, keepdims=True)[..., 0]
+         - np.asarray(y)[:, :4, 0]) ** 2)
+    assert np.isfinite(pred).all()
+    assert err_gp < 0.5 * err_mean
+
+
+def test_cmgp_nll_training_step_reduces_loss():
+    import optax
+
+    model, params, x, y = _cmgp_setup()
+    loss = lambda p: model.apply({"params": p}, x, y, method="nll")
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    l0 = float(loss(params))
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(30):
+        params, state, l = step(params, state)
+    assert float(l) < l0
+    assert np.isfinite(float(l))
