@@ -53,23 +53,74 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def param_shardings(mesh: Mesh, params) -> Any:
+def fsdp_specs(params, n_data: int, base: Any = None) -> Any:
+    """ZeRO-3 / FSDP partition specs: shard parameter *storage* over 'data'.
+
+    Starting from the tensor-parallel rules (``base``, default
+    ``param_specs``), every still-replicated leaf shards its largest
+    'data'-divisible dim over the data axis.  Under jit/GSPMD that is the
+    whole of FSDP: XLA all-gathers a param at its use site and
+    reduce-scatters its gradient, so per-device param+optimizer memory
+    drops by ~n_data while the math is unchanged (pinned by
+    tests/test_parallel.py).  The reference has no distributed training
+    at all (SURVEY.md section 2.6); this extends the dp x tp capability
+    with sharded-state data parallelism.
+
+    Leaves smaller than ``2 * n_data`` elements (biases, GP scalars) stay
+    replicated — gathering them costs more than the bytes saved.
+    """
+    if base is None:
+        base = param_specs(params)
+    if n_data <= 1:
+        return base  # sharding over a size-1 axis is replication
+
+    def assign(leaf, spec):
+        if tuple(spec) and any(a is not None for a in tuple(spec)):
+            return spec  # tensor-parallel rule wins
+        shape = getattr(leaf, "shape", ())
+        if int(np_prod(shape)) < 2 * n_data:
+            return spec
+        cands = [i for i, s in enumerate(shape) if s % n_data == 0 and s > 0]
+        if not cands:
+            return spec
+        dim = max(cands, key=lambda i: shape[i])
+        out = [None] * len(shape)
+        out[dim] = "data"
+        return P(*out)
+
+    return jax.tree_util.tree_map(assign, params, base)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def param_shardings(mesh: Mesh, params, fsdp: bool = False) -> Any:
+    specs = param_specs(params)
+    if fsdp:
+        specs = fsdp_specs(params, mesh.shape["data"], base=specs)
     return jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec),
-        param_specs(params),
+        specs,
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
-def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any) -> Any:
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any,
+                        fsdp: bool = False) -> Any:
     """Shardings for an optax state, co-located with the params.
 
     Any subtree structurally identical to ``params`` (adam's mu/nu moment
     trees) gets the param shardings so optimizer updates never reshard;
-    every other leaf (step counts, empty states) is replicated.
+    every other leaf (step counts, empty states) is replicated.  With
+    ``fsdp`` the moments shard with the FSDP param layout — the ZeRO
+    optimizer-state partition.
     """
     p_treedef = jax.tree_util.tree_structure(params)
-    p_shards = param_shardings(mesh, params)
+    p_shards = param_shardings(mesh, params, fsdp=fsdp)
     rep = NamedSharding(mesh, P())
 
     def walk(node):

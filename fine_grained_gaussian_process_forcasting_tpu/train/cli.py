@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="data-parallel device count: shard the batch "
                              "dim over a 'data' mesh axis (0 = no mesh, "
                              "single device)")
+    parser.add_argument("--fsdp", type=_str2bool, default="False",
+                        help="ZeRO/FSDP: shard param + optimizer-state "
+                             "storage over the 'data' mesh axis (requires "
+                             "--dp >= 2 to matter)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel device count: megatron-style "
                              "QKV/FFN param shardings over a 'model' mesh "
@@ -190,6 +194,7 @@ def main(argv=None):
                 stack_choices=tuple(args.stack_choices),
                 clip_grad_norm=args.clip_grad_norm,
                 nonfinite_guard=args.nonfinite_guard,
+                fsdp=args.fsdp,
             )
             if args.multiseed:
                 from fine_grained_gaussian_process_forcasting_tpu.train.harness import (

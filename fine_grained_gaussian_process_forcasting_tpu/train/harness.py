@@ -84,6 +84,9 @@ class HarnessArgs:
     # the run), 'raise' (fail with the first bad step's index), 'skip'
     # (drop bad updates via optax.apply_if_finite) — train.trainer
     nonfinite_guard: str = "off"
+    # ZeRO/FSDP: shard param + optimizer-state storage over the mesh's
+    # 'data' axis (parallel.sharding.fsdp_specs); needs a mesh
+    fsdp: bool = False
 
 
 class ExperimentHarness:
@@ -270,7 +273,7 @@ class ExperimentHarness:
 
         model = self._make_model(d_model, stack_size)
         trainer = Trainer(model, d_model=d_model, warmup_steps=w_steps,
-                          mesh=self.mesh,
+                          mesh=self.mesh, fsdp=self.args.fsdp,
                           clip_grad_norm=self.args.clip_grad_norm,
                           nonfinite_guard=self.args.nonfinite_guard)
 
@@ -348,7 +351,8 @@ class ExperimentHarness:
         assert self.best_params is not None, "run_study first"
         d_model, stack_size = self.best_config
         model = self._make_model(d_model, stack_size)
-        trainer = Trainer(model, d_model=d_model, mesh=self.mesh)
+        trainer = Trainer(model, d_model=d_model, mesh=self.mesh,
+                          fsdp=self.args.fsdp)
         test_dev = trainer.device_put_split(self.test_data)
 
         from fine_grained_gaussian_process_forcasting_tpu.train.trainer import (

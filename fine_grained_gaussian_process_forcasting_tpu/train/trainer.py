@@ -55,6 +55,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         clip_grad_norm: float = 0.0,
         nonfinite_guard: str = "off",
+        fsdp: bool = False,
     ):
         """``nonfinite_guard``: production fault detection the reference
         lacks (its NaNs silently poison the run, ``train.py:158-167``).
@@ -70,6 +71,7 @@ class Trainer:
                                    clip_grad_norm=clip_grad_norm,
                                    nonfinite_guard=nonfinite_guard)
         self.mesh = mesh
+        self.fsdp = fsdp  # ZeRO-style param/opt-state sharding over 'data'
         self._build()
 
     # ------------------------------------------------------------------ #
@@ -164,8 +166,9 @@ class Trainer:
                 param_shardings,
             )
 
-            p_shard = param_shardings(self.mesh, params)
-            opt_shard = opt_state_shardings(self.mesh, opt_state, params)
+            p_shard = param_shardings(self.mesh, params, fsdp=self.fsdp)
+            opt_shard = opt_state_shardings(self.mesh, opt_state, params,
+                                            fsdp=self.fsdp)
             params = jax.device_put(params, p_shard)
             opt_state = jax.device_put(opt_state, opt_shard)
         return TrainState(params=params, opt_state=opt_state, rng=rng)
