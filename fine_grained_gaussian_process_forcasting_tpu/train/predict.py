@@ -91,6 +91,51 @@ class InferenceSession:
             outs.append(p[: bs - pad] if pad else p)
         return np.concatenate(outs, 0)
 
+    def export_serving(self, path: str, enc_len: int, dec_len: int,
+                       n_features: int, platforms=None) -> str:
+        """Serialize the serving forward to a self-contained StableHLO
+        artifact (``jax.export``): params (and int8 weights, if
+        quantized) are embedded as constants, so the file can be loaded
+        and executed by any JAX runtime of the same platform — TPU pods,
+        a serving binary, a different process — **without this framework
+        or the model code installed**.  The deployment hand-off the
+        reference's pickle-a-torch-module checkpoints cannot provide
+        (``train.py:186-187`` requires the full source tree at load).
+
+        Shapes are fixed at (batch_size, enc_len/dec_len, n_features) —
+        the same one-compiled-shape contract ``predict`` serves through.
+        Returns ``path``.
+        """
+        from jax import export as jexport
+
+        params, qmap, forward = self.params, self._qmap, self._forward
+
+        def serving(enc, dec):
+            return forward(params, enc, dec)
+
+        b = self.batch_size
+        specs = (
+            jax.ShapeDtypeStruct((b, enc_len, n_features), jnp.float32),
+            jax.ShapeDtypeStruct((b, dec_len, n_features), jnp.float32),
+        )
+        kwargs = {"platforms": platforms} if platforms else {}
+        exported = jexport.export(jax.jit(serving), **kwargs)(*specs)
+        data = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(data)
+        return path
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load an ``export_serving`` artifact -> callable (enc, dec) ->
+        predictions.  Needs only jax — no model code, no params."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exported = jexport.deserialize(f.read())
+        return lambda enc, dec: exported.call(jnp.asarray(enc),
+                                              jnp.asarray(dec))
+
     def predict_dataframe(self, raw_df: pd.DataFrame, formatter,
                           pred_len: int,
                           max_windows: Optional[int] = 1024) -> pd.DataFrame:
