@@ -343,7 +343,13 @@ def download_weather(config: ExperimentConfig) -> None:
                                    encoding="unicode_escape"))
 
     output = pd.concat(df_list, axis=0, join="outer")
-    output.index = pd.to_datetime(output.index)
+    # the archive's "Date Time" column is DD.MM.YYYY HH:MM:SS — inference
+    # locks onto %m.%d for the first rows and raises at day >= 13
+    try:
+        output.index = pd.to_datetime(output.index,
+                                      format="%d.%m.%Y %H:%M:%S")
+    except ValueError:
+        output.index = pd.to_datetime(output.index, dayfirst=True)
     output.sort_index(inplace=True)
     output = output.resample("1h").mean().replace(0.0, np.nan)
     earliest_time = output.index.min()

@@ -232,10 +232,13 @@ def test_covid_handler(tmp_path):
 def test_weather_handler(tmp_path, monkeypatch):
     """BGC-Jena roof: half-year zips, DD.MM.YYYY timestamps, 10-min."""
     def half(start):
-        idx = pd.date_range(start, periods=36, freq="10min")
+        # span past day 12 of the month: DD.MM.YYYY inference locks onto
+        # %m.%d and raises at day 13 unless the handler pins the format
+        idx = pd.date_range(start, periods=80, freq="6h")
+        n = len(idx)
         return pd.DataFrame({
             "p (mbar)": 996.5, "T (degC)":
-                np.random.default_rng(4).uniform(-5, 5, 36).round(2),
+                np.random.default_rng(4).uniform(-5, 5, n).round(2),
             "rh (%)": 75.0,
         }, index=idx.strftime("%d.%m.%Y %H:%M:%S")).to_csv(
             index_label="Date Time")
