@@ -1,3 +1,4 @@
+from fine_grained_gaussian_process_forcasting_tpu.models.cmgp import CMGP
 from fine_grained_gaussian_process_forcasting_tpu.models.deepar import (
     DeepAR,
     deepar_nll,

@@ -51,10 +51,8 @@ def _formatter_columns(exp) -> set:
 def _check_formatter_contract(exp, csv_path):
     out = pd.read_csv(csv_path)
     need = _formatter_columns(exp)
-    have = set(out.columns) | ({out.columns[0]} if True else set())
-    # the index column may carry the time dimension; formatters address
-    # columns by name, so require every named column to be present
-    missing = {c for c in need if c not in have}
+    # formatters address columns by name: every named column must exist
+    missing = {c for c in need if c not in set(out.columns)}
     assert not missing, f"{exp}: handler output missing {missing}"
     assert len(out) > 0
     return out

@@ -94,3 +94,29 @@ def test_export_serving_round_trip(tmp_path):
 
     # the artifact is self-contained: bytes on disk, loadable fresh
     assert (tmp_path / "serving.stablehlo").stat().st_size > 1000
+
+
+def test_export_serving_int8_round_trip(tmp_path):
+    """The int8-quantized session exports too: the artifact embeds the
+    int8 weights + dequant math and reproduces the session's output."""
+    pred_len = 8
+    model = ForecastDenoising(
+        src_input_size=4, tgt_input_size=4, d_model=16, n_heads=4, d_k=4,
+        stack_size=1, pred_len=pred_len, attn_type="basic", gp=True,
+        denoise=True, num_inducing=8,
+    )
+    rng = jax.random.PRNGKey(0)
+    enc0 = np.zeros((2, 48, 4), np.float32)
+    dec0 = np.zeros((2, 8, 4), np.float32)
+    variables = model.init({"params": rng, "noise": rng, "sampling": rng},
+                           enc0, dec0)
+    session = InferenceSession(model, variables["params"], batch_size=4,
+                               quantize="int8")
+    path = session.export_serving(
+        str(tmp_path / "serving_int8.stablehlo"), enc_len=48, dec_len=8,
+        n_features=4)
+    enc = np.random.default_rng(7).normal(size=(4, 48, 4)).astype(np.float32)
+    dec = np.random.default_rng(8).normal(size=(4, 8, 4)).astype(np.float32)
+    want = session.predict(enc, dec)
+    got = np.asarray(InferenceSession.load_exported(path)(enc, dec))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
