@@ -9,10 +9,11 @@ processes with Gaussian smoothing kernels; on the harness's univariate
 windows that construction reduces to a single-output GP whose covariance is
 a Q-component mixture of RBFs over time,
 
-    k(t, t') = sum_q  s_q^2 * exp(-(t - t')^2 / (4 * l_q^2)) ,
+    k(t, t') = sum_q  s_q * exp(-(t - t')^2 / (4 * l_q^2)) ,
 
-(the l_q^2 + l_q'^2 = 2 l_q^2 variance of two convolved width-l_q kernels),
-plus a constant mean and Gaussian observation noise.  Hyperparameters are
+with s_q > 0 linear mixture weights (softplus) and 4 l_q^2 the
+l_q^2 + l_q'^2 variance of two convolved width-l_q kernels, plus a
+constant mean and Gaussian observation noise.  Hyperparameters are
 trained by exact marginal likelihood over the training windows; the
 forecast is the exact GP posterior mean at the horizon time points given
 the window's history.

@@ -11,6 +11,7 @@ the psum XLA inserts after the row-parallel matmul.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any
 
@@ -53,18 +54,24 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def fsdp_specs(params, n_data: int, base: Any = None) -> Any:
+def fsdp_specs(params, n_data: int, base: Any = None,
+               n_model: int = 1) -> Any:
     """ZeRO-3 / FSDP partition specs: shard parameter *storage* over 'data'.
 
     Starting from the tensor-parallel rules (``base``, default
-    ``param_specs``), every still-replicated leaf shards its largest
-    'data'-divisible dim over the data axis.  Under jit/GSPMD that is the
-    whole of FSDP: XLA all-gathers a param at its use site and
-    reduce-scatters its gradient, so per-device param+optimizer memory
-    drops by ~n_data while the math is unchanged (pinned by
-    tests/test_parallel.py).  The reference has no distributed training
-    at all (SURVEY.md section 2.6); this extends the dp x tp capability
-    with sharded-state data parallelism.
+    ``param_specs``), every leaf shards its largest still-replicated
+    'data'-divisible dim over the data axis.  A 'model'-sharded dim only
+    counts as sharded when the model axis is actually wider than 1
+    (``n_model``): with --tp 1 the megatron rules are replication, so the
+    attention/FFN kernels — the bulk of the bytes — FSDP-shard like any
+    other leaf.  With tp > 1 the *other* dim of a tp-sharded kernel
+    shards over 'data' (the standard 2-D megatron x ZeRO layout).
+
+    Under jit/GSPMD that is the whole of FSDP: XLA all-gathers a param at
+    its use site and reduce-scatters its gradient, so per-device
+    param+optimizer memory drops by ~n_data while the math is unchanged
+    (pinned by tests/test_parallel.py).  The reference has no distributed
+    training at all (SURVEY.md section 2.6).
 
     Leaves smaller than ``2 * n_data`` elements (biases, GP scalars) stay
     replicated — gathering them costs more than the bytes saved.
@@ -75,33 +82,29 @@ def fsdp_specs(params, n_data: int, base: Any = None) -> Any:
         return base  # sharding over a size-1 axis is replication
 
     def assign(leaf, spec):
-        if tuple(spec) and any(a is not None for a in tuple(spec)):
-            return spec  # tensor-parallel rule wins
         shape = getattr(leaf, "shape", ())
-        if int(np_prod(shape)) < 2 * n_data:
+        axes = list(tuple(spec)) + [None] * (len(shape) - len(tuple(spec)))
+        # a 'model' assignment on a 1-wide mesh axis is replication
+        if n_model <= 1:
+            axes = [None if a == "model" else a for a in axes]
+        if math.prod(shape) < 2 * n_data:
             return spec
-        cands = [i for i, s in enumerate(shape) if s % n_data == 0 and s > 0]
+        cands = [i for i, s in enumerate(shape)
+                 if axes[i] is None and s % n_data == 0 and s > 0]
         if not cands:
             return spec
-        dim = max(cands, key=lambda i: shape[i])
-        out = [None] * len(shape)
-        out[dim] = "data"
-        return P(*out)
+        axes[max(cands, key=lambda i: shape[i])] = "data"
+        return P(*axes)
 
     return jax.tree_util.tree_map(assign, params, base)
-
-
-def np_prod(shape) -> int:
-    out = 1
-    for s in shape:
-        out *= int(s)
-    return out
 
 
 def param_shardings(mesh: Mesh, params, fsdp: bool = False) -> Any:
     specs = param_specs(params)
     if fsdp:
-        specs = fsdp_specs(params, mesh.shape["data"], base=specs)
+        shape = dict(mesh.shape)
+        specs = fsdp_specs(params, shape.get("data", 1), base=specs,
+                           n_model=shape.get("model", 1))
     return jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec),
         specs,

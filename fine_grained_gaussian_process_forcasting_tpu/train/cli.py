@@ -141,6 +141,10 @@ def main(argv=None):
         raw_data = pd.read_csv(csv_path, dtype={"date": str})
 
     mesh = None
+    if args.fsdp and not (args.dp > 0 or args.tp > 1):
+        raise SystemExit(
+            "--fsdp True needs a mesh: pass --dp N (>= 2 for it to shard "
+            "anything) — without one the flag would be silently ignored")
     if args.dp > 0 or args.tp > 1:
         from fine_grained_gaussian_process_forcasting_tpu.parallel.mesh import (
             make_mesh,

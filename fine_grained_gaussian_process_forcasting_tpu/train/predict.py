@@ -108,7 +108,7 @@ class InferenceSession:
         """
         from jax import export as jexport
 
-        params, qmap, forward = self.params, self._qmap, self._forward
+        params, forward = self.params, self._forward  # qmap closed over
 
         def serving(enc, dec):
             return forward(params, enc, dec)

@@ -73,6 +73,11 @@ _SLOW = {
     ("test_nonfinite_guard.py", "test_skip_matches_off_on_clean_data"),
     ("test_quantize.py", "test_int8_session_close_to_fp32_session"),
     ("test_multiseed.py", "test_multiseed_eval_and_divergence"),
+    # session additions that mirror already-slow-tiered siblings
+    ("test_parallel.py", "test_fsdp_cli_end_to_end"),
+    ("test_parallel.py", "test_fsdp_loss_and_grads_match_single_device"),
+    ("test_predict.py", "test_export_serving_int8_round_trip"),
+    ("test_baselines.py", "test_cmgp_nll_training_step_reduces_loss"),
 }
 
 

@@ -175,7 +175,7 @@ def test_fsdp_specs_shard_replicated_leaves_over_data():
     )
 
     model, params, *_ = _setup()
-    specs = fsdp_specs(params, n_data=4)
+    specs = fsdp_specs(params, n_data=4, n_model=2)
     flat = jax.tree_util.tree_flatten_with_path(
         specs, is_leaf=lambda x: isinstance(x, P))[0]
     by_name = {
@@ -228,3 +228,36 @@ def test_fsdp_cli_end_to_end(tmp_path):
     ])
     assert len(results) == 1
     assert np.isfinite(results[0]["mse"])
+
+
+def test_fsdp_shards_tp_kernels_when_model_axis_is_one():
+    """Pure data parallelism (--tp 1): the megatron rules are replication,
+    so FSDP must shard the attention/FFN kernels — the bulk of the bytes —
+    over 'data' instead of leaving them fully replicated."""
+    from fine_grained_gaussian_process_forcasting_tpu.parallel.sharding import (
+        fsdp_specs,
+    )
+
+    model, params, *_ = _setup()
+    specs = fsdp_specs(params, n_data=4, n_model=1)
+    flat = {
+        "/".join(getattr(k, "key", str(k)) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+            specs, is_leaf=lambda x: isinstance(x, P))[0]
+    }
+    big_kernels = [n for n in flat
+                   if n.endswith("/kernel") and ("wq" in n or "ffn" in n)]
+    assert big_kernels
+    for name in big_kernels:
+        assert "data" in tuple(flat[name]), (name, flat[name])
+    # and with a real model axis, tp-sharded kernels get a 2-D
+    # megatron x ZeRO layout (both axes present)
+    specs2 = fsdp_specs(params, n_data=4, n_model=2)
+    flat2 = {
+        "/".join(getattr(k, "key", str(k)) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+            specs2, is_leaf=lambda x: isinstance(x, P))[0]
+    }
+    two_d = [n for n, s in flat2.items()
+             if "model" in tuple(s) and "data" in tuple(s)]
+    assert two_d, "expected megatron x ZeRO 2-D sharded kernels"
