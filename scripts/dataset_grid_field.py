@@ -28,15 +28,18 @@ ARMS = {
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--exps", default="electricity,traffic")
+    p.add_argument("--arms", default=",".join(ARMS),
+                   help="comma-separated subset of arms (resume support)")
     p.add_argument("--out_dir", default="results_r3/abl_field_datasets")
     p.add_argument("--num_epochs", type=int, default=50)
     args = p.parse_args()
+    arms = {k: ARMS[k] for k in args.arms.split(",")}
 
     from fine_grained_gaussian_process_forcasting_tpu.train import cli
 
     os.makedirs(args.out_dir, exist_ok=True)
     for exp in args.exps.split(","):
-        for arm, flags in ARMS.items():
+        for arm, flags in arms.items():
             print(f"=== {exp} / {arm} ===", flush=True)
             cli.main([
                 "--exp_name", exp, "--synthetic",
