@@ -497,7 +497,7 @@ def process_favorita(config: ExperimentConfig) -> None:
     resampled = []
     for traj_id, raw_sub_df in temporal.groupby("traj_id"):
         sub_df = raw_sub_df.set_index("date", drop=True).copy()
-        sub_df = sub_df.resample("1d").last()
+        sub_df = sub_df.resample("1D").last()
         sub_df["date"] = sub_df.index
         cols = ["store_nbr", "item_nbr", "onpromotion"]
         sub_df[cols] = sub_df[cols].ffill()
