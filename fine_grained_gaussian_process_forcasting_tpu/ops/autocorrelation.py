@@ -47,16 +47,65 @@ def _dft_mats(L: int):
         weights[-1] = 1.0
     inv_r = (np.cos(ang) * weights[None, :] / L).T  # (F, L)
     inv_i = (-np.sin(ang) * weights[None, :] / L).T
+    # Packed forms: one (L, 2F) GEMM for [real | imag] forward and one
+    # (2F, L) GEMM for the inverse.  With F = L//2+1 (257 at L=512) the
+    # unpacked GEMMs pad N=F to the next 128-lane multiple (384, 33%
+    # dead lanes) TWICE; the packed N=2F pads to 640 (20%) once, and the
+    # inverse becomes a single K=2F GEMM instead of two GEMMs + add.
+    w_pack = np.concatenate([w_r, w_i], axis=1)  # (L, 2F)
+    inv_pack = np.concatenate([inv_r, inv_i], axis=0)  # (2F, L)
     # numpy constants (NOT jnp): device arrays created inside one trace and
     # cached would leak as tracers into the next
-    return (w_r.astype(np.float32), w_i.astype(np.float32),
-            inv_r.astype(np.float32), inv_i.astype(np.float32))
+    return (w_pack.astype(np.float32), inv_pack.astype(np.float32))
 
 
 def _mm(a, b):
     """GEMM with fp32 accumulation, operands kept in their (possibly bf16)
     dtype so the MXU runs at native rate."""
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+# Transform routing.  The O(L^2) DFT-as-GEMM wins on the MXU at EVERY
+# length this model family reaches — measured fwd+bwd bf16 on v5e
+# (scripts/autocorr_fft_ab.py): 3.3 vs 25.2 ms at the production
+# (64,8,512,64), 0.36 vs 1.06 ms at (64,8,128,64), 0.22 vs 3.24 ms at
+# the flagship (256,8,288,4) — XLA's TPU FFT runs on the VPU and loses
+# 3-11x even where the DFT does ~50x the FLOPs.  The FFT path is kept
+# only as the measurement baseline (_FORCE_FFT=True in the A/B script).
+_FORCE_FFT = None
+
+
+def _use_fft(L: int) -> bool:
+    return bool(_FORCE_FFT)
+
+
+def _rfft_pair(x2: jnp.ndarray, L: int):
+    """rfft of 2-D (rows, L) -> (real, imag) each (rows, L//2+1).
+
+    Carried as a real pair so both transform backends feed the identical
+    downstream spectrum arithmetic.  2-D operands keep the XLA CPU
+    backend's FFT layout constraint satisfied (tests run on CPU)."""
+    if _use_fft(L):
+        X = jnp.fft.rfft(x2.astype(jnp.float32), axis=-1)
+        return X.real, X.imag
+    w_pack, _ = _dft_mats(L)
+    both = _mm(x2, w_pack.astype(x2.dtype))  # (rows, 2F)
+    F = L // 2 + 1
+    return both[:, :F], both[:, F:]
+
+
+def _irfft_pair(xr: jnp.ndarray, xi: jnp.ndarray, L: int, dt) -> jnp.ndarray:
+    """Inverse of ``_rfft_pair`` on 2-D (rows, L//2+1) spectra -> (rows, L).
+
+    ``dt`` is the GEMM operand dtype for the DFT path (the FFT path runs
+    complex64 regardless — XLA's FFT is f32-only)."""
+    if _use_fft(L):
+        return jnp.fft.irfft(jax.lax.complex(xr.astype(jnp.float32),
+                                             xi.astype(jnp.float32)),
+                             n=L, axis=-1)
+    _, inv_pack = _dft_mats(L)
+    both = jnp.concatenate([xr.astype(dt), xi.astype(dt)], axis=-1)
+    return _mm(both, inv_pack.astype(dt))
 
 
 def _delay_aggregate(
@@ -83,21 +132,21 @@ def _delay_aggregate(
         bi = jnp.arange(b_)[:, None]
         f = f.at[bi, delays].add(weights.astype(jnp.float32))
 
-    # DFT-as-GEMM (see _dft_mats): v and the impulse train go to frequency
-    # space with two (L x F) matmuls each, conj-multiply, inverse with two
-    # (F x L) matmuls — all MXU work, no VPU FFT.
-    w_r, w_i, inv_r, inv_i = _dft_mats(L)
+    # v and the impulse train go to frequency space (DFT-as-GEMM on the
+    # MXU — see the routing note above _FORCE_FFT), conj-multiply,
+    # inverse-transform.
     dt = values.dtype
     v2 = values.reshape(-1, L)
-    vr = _mm(v2, w_r.astype(dt)).reshape(b_, h_ * d_, -1)
-    vi = _mm(v2, w_i.astype(dt)).reshape(b_, h_ * d_, -1)
-    fr = _mm(f, w_r)[:, None, :]
-    fi = _mm(f, w_i)[:, None, :]
+    vr, vi = _rfft_pair(v2, L)
+    vr = vr.reshape(b_, h_ * d_, -1)
+    vi = vi.reshape(b_, h_ * d_, -1)
+    fr, fi = _rfft_pair(f, L)
+    fr, fi = fr[:, None, :], fi[:, None, :]
     # (vr + i vi) * conj(fr + i fi)
-    pr = (vr * fr + vi * fi).astype(dt)
-    pi = (vi * fr - vr * fi).astype(dt)
-    out = (_mm(pr.reshape(-1, pr.shape[-1]), inv_r.astype(dt))
-           + _mm(pi.reshape(-1, pi.shape[-1]), inv_i.astype(dt)))
+    pr = (vr * fr + vi * fi)
+    pi = (vi * fr - vr * fi)
+    out = _irfft_pair(pr.reshape(-1, pr.shape[-1]),
+                      pi.reshape(-1, pi.shape[-1]), L, dt)
     return out.reshape(b_, h_, d_, L).astype(values.dtype)
 
 
@@ -144,18 +193,17 @@ def auto_correlation(
     #   inverse-transform (b, F) instead of (b*h*d, F);
     # - the L-point DFT product gives the exact circular-L correlation the
     #   reference's length-L rfft computes, with no padding.
-    w_r, w_i, inv_r, inv_i = _dft_mats(L)
     dt = qt.dtype
     q2 = qt.reshape(-1, L)
     k2 = kt.reshape(-1, L)
-    qr = _mm(q2, w_r.astype(dt)).reshape(b, h * d, -1)
-    qi = _mm(q2, w_i.astype(dt)).reshape(b, h * d, -1)
-    kr = _mm(k2, w_r.astype(dt)).reshape(b, h * d, -1)
-    ki = _mm(k2, w_i.astype(dt)).reshape(b, h * d, -1)
+    qr, qi = _rfft_pair(q2, L)
+    kr, ki = _rfft_pair(k2, L)
+    qr, qi = qr.reshape(b, h * d, -1), qi.reshape(b, h * d, -1)
+    kr, ki = kr.reshape(b, h * d, -1), ki.reshape(b, h * d, -1)
     # mean over (h, d) of (q + i qi) * conj(k + i ki)
     res_r = jnp.mean(qr * kr + qi * ki, axis=1)  # (b, F)
     res_i = jnp.mean(qi * kr - qr * ki, axis=1)
-    mean_value = _mm(res_r, inv_r) + _mm(res_i, inv_i)  # (b, L)
+    mean_value = _irfft_pair(res_r, res_i, L, jnp.float32)  # (b, L)
 
     top_k = int(factor * math.log(L))
 
