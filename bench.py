@@ -626,7 +626,7 @@ def main():
                        "config": "AutoDG solar b256 enc192 pred96"}, f)
 
     jax_sps = fp32["steps_per_sec"]
-    print(json.dumps({
+    result = {
         "metric": "train_steps_per_sec_AutoDG_b256",
         "value": round(jax_sps, 3),
         "unit": "steps/s",
@@ -691,8 +691,74 @@ def main():
         "prod_d512_autodg_bf16_tflops": round(prod["tflops"], 2),
         "prod_d512_autodg_bf16_pct_of_bf16_peak": round(
             prod["pct_of_bf16_peak"], 2),
-    }))
+    }
+    with open(LAST_GOOD, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+# --------------------------------------------------------------------------- #
+# Wedged-tunnel insurance.  The axon device tunnel has been observed to drop
+# an RPC response and leave the client futex-blocked forever with the device
+# idle (NOTES.md "Gotchas").  If that happens during the driver's end-of-round
+# bench run, a bare main() records NOTHING.  Guard rails:
+#   1. a subprocess matmul probe before main() — if the tunnel is wedged NOW,
+#      re-emit the last successful measurement flagged ``"stale": true``
+#      rather than hanging;
+#   2. a watchdog that does the same if main() itself exceeds
+#      $BENCH_WATCHDOG_S (default 1500 s; a healthy full run is ~6 min).
+# Stale output is explicit: the JSON carries stale=true + the reason, so a
+# flagged line can never masquerade as a fresh measurement.
+# --------------------------------------------------------------------------- #
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_last_good.json")
+
+
+def _emit_stale(reason: str) -> None:
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD) as f:
+            blob = json.load(f)
+        blob["stale"] = True
+        blob["stale_reason"] = reason
+        print(json.dumps(blob), flush=True)
+    else:
+        print(json.dumps({"metric": "train_steps_per_sec_AutoDG_b256",
+                          "value": 0.0, "unit": "steps/s",
+                          "vs_baseline": 0.0, "error": reason}), flush=True)
+
+
+def _device_responsive(timeout_s: float = 120.0) -> bool:
+    """Probe the device in a SUBPROCESS (a futex-blocked in-process RPC
+    can't reliably be interrupted) with a tiny jitted matmul."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "y = jax.jit(lambda a: a @ a)(jnp.ones((128, 128))); "
+            "print(float(y.sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 if __name__ == "__main__":
+    import threading
+
+    if not _device_responsive():
+        _emit_stale("device tunnel unresponsive at bench start "
+                    "(128x128 matmul probe timed out)")
+        raise SystemExit(0)
+
+    _watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
+
+    def _on_watchdog():
+        _emit_stale(f"bench run exceeded the {_watchdog_s:.0f}s watchdog "
+                    "(tunnel likely wedged mid-run)")
+        os._exit(0)
+
+    _t = threading.Timer(_watchdog_s, _on_watchdog)
+    _t.daemon = True
+    _t.start()
     main()
