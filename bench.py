@@ -762,3 +762,6 @@ if __name__ == "__main__":
     _t.daemon = True
     _t.start()
     main()
+    # cancel before interpreter teardown: a firing in the exit window would
+    # append a stale line AFTER the fresh one (the driver parses the last)
+    _t.cancel()
