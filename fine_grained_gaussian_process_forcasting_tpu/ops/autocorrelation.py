@@ -47,16 +47,17 @@ def _dft_mats(L: int):
         weights[-1] = 1.0
     inv_r = (np.cos(ang) * weights[None, :] / L).T  # (F, L)
     inv_i = (-np.sin(ang) * weights[None, :] / L).T
-    # Packed forms: one (L, 2F) GEMM for [real | imag] forward and one
-    # (2F, L) GEMM for the inverse.  With F = L//2+1 (257 at L=512) the
-    # unpacked GEMMs pad N=F to the next 128-lane multiple (384, 33%
-    # dead lanes) TWICE; the packed N=2F pads to 640 (20%) once, and the
-    # inverse becomes a single K=2F GEMM instead of two GEMMs + add.
-    w_pack = np.concatenate([w_r, w_i], axis=1)  # (L, 2F)
-    inv_pack = np.concatenate([inv_r, inv_i], axis=0)  # (2F, L)
+    # Unpacked (four-matrix) layout.  A packed [real|imag] single-GEMM
+    # variant (one (L,2F) forward / one (2F,L) inverse) looked better on
+    # lane-padding arithmetic but MEASURED WORSE in the full step: the
+    # production d512 AutoDG step regressed 41.4 -> 45.2 ms (52.0 -> 47.7%
+    # of bf16 peak, uncontended slope-timed A/B on v5e) — XLA schedules the
+    # two narrow GEMMs better than the wide one plus the concatenate's
+    # extra HBM buffer.  Keep the four mats.
     # numpy constants (NOT jnp): device arrays created inside one trace and
     # cached would leak as tracers into the next
-    return (w_pack.astype(np.float32), inv_pack.astype(np.float32))
+    return (w_r.astype(np.float32), w_i.astype(np.float32),
+            inv_r.astype(np.float32), inv_i.astype(np.float32))
 
 
 def _mm(a, b):
@@ -88,10 +89,8 @@ def _rfft_pair(x2: jnp.ndarray, L: int):
     if _use_fft(L):
         X = jnp.fft.rfft(x2.astype(jnp.float32), axis=-1)
         return X.real, X.imag
-    w_pack, _ = _dft_mats(L)
-    both = _mm(x2, w_pack.astype(x2.dtype))  # (rows, 2F)
-    F = L // 2 + 1
-    return both[:, :F], both[:, F:]
+    w_r, w_i, _, _ = _dft_mats(L)
+    return _mm(x2, w_r.astype(x2.dtype)), _mm(x2, w_i.astype(x2.dtype))
 
 
 def _irfft_pair(xr: jnp.ndarray, xi: jnp.ndarray, L: int, dt) -> jnp.ndarray:
@@ -103,9 +102,9 @@ def _irfft_pair(xr: jnp.ndarray, xi: jnp.ndarray, L: int, dt) -> jnp.ndarray:
         return jnp.fft.irfft(jax.lax.complex(xr.astype(jnp.float32),
                                              xi.astype(jnp.float32)),
                              n=L, axis=-1)
-    _, inv_pack = _dft_mats(L)
-    both = jnp.concatenate([xr.astype(dt), xi.astype(dt)], axis=-1)
-    return _mm(both, inv_pack.astype(dt))
+    _, _, inv_r, inv_i = _dft_mats(L)
+    return (_mm(xr.astype(dt), inv_r.astype(dt))
+            + _mm(xi.astype(dt), inv_i.astype(dt)))
 
 
 def _delay_aggregate(
