@@ -14,14 +14,25 @@ real-data run a one-command on-ramp the day a csv exists:
 - ``scripts/golden_run.sh`` chains manifest verification + the full
   BASELINE.md training/eval protocol.
 
-sha256 pins are None until a verified real download is observed (record
-them by running ``python -m ...data.manifest --pin <experiment> <csv>`` on
-a machine with egress); schema verification always applies.
+Pinning semantics (round 4 — tamper/drift-evident from the second run):
+
+- The upstream projects publish no official sha256 for the *processed*
+  per-experiment csvs (they are products of the reference's own ETL,
+  ``data_loader.py:97-917``), so hard pins cannot be authored offline
+  without fabricating them.  Instead ``verify_csv`` records a
+  **trust-on-first-use** pin: the first successfully schema-verified file
+  per experiment has its sha256 captured into ``PIN_STORE``
+  (``.manifest_pins.json`` next to this package's repo root, overridable
+  via ``$FGP_MANIFEST_PINS``), and every later verification checks
+  against it.  A code-level pin in ``SHA256`` (via ``manifest pin``)
+  always takes precedence over the store.
+- schema verification always applies, pin or no pin.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from typing import Dict, List, Optional
 
@@ -64,6 +75,31 @@ def expected_columns(experiment: str) -> List[str]:
     return [t[0] for t in formatter.get_column_definition()]
 
 
+def _default_pin_store() -> str:
+    env = os.environ.get("FGP_MANIFEST_PINS")
+    if env:
+        return env
+    # repo root = two levels above this package file's data/ dir
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), ".manifest_pins.json")
+
+
+def _load_pins(store: str) -> Dict[str, str]:
+    if os.path.exists(store):
+        with open(store) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_pin(store: str, experiment: str, digest: str) -> None:
+    pins = _load_pins(store)
+    pins[experiment] = digest
+    tmp = store + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(pins, f, indent=2, sort_keys=True)
+    os.replace(tmp, store)  # atomic: no torn pin file on crash
+
+
 def file_sha256(path: str, chunk: int = 1 << 20) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -75,12 +111,17 @@ def file_sha256(path: str, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
-def verify_csv(experiment: str, path: str) -> dict:
+def verify_csv(experiment: str, path: str,
+               pin_store: Optional[str] = None) -> dict:
     """Validate a csv against the manifest.
 
-    Always checks the header contains every formatter-required column;
-    checks sha256 when a pin exists.  Returns a report dict; raises
-    ValueError on any failure with an actionable message.
+    Always checks the header contains every formatter-required column.
+    Checksum policy: a code-level pin (``SHA256``) is authoritative;
+    otherwise the trust-on-first-use store applies — the first verified
+    file per experiment captures its sha256 there, and later runs must
+    match it (tamper/drift-evident from the second run on).  Returns a
+    report dict; raises ValueError on any failure with an actionable
+    message.
     """
     if not os.path.exists(path):
         raise ValueError(f"{path} does not exist")
@@ -97,18 +138,32 @@ def verify_csv(experiment: str, path: str) -> dict:
             "(see data/download.py for the ETL that produces it)."
         )
     digest = file_sha256(path)
+    store = pin_store or _default_pin_store()
     pinned = SHA256.get(experiment)
+    pin_origin = "code" if pinned is not None else None
+    if pinned is None:
+        pinned = _load_pins(store).get(experiment)
+        pin_origin = "first_use_store" if pinned is not None else None
     if pinned is not None and digest != pinned:
         raise ValueError(
-            f"{path} sha256 {digest} != pinned {pinned} for "
-            f"{experiment!r}. The file differs from the verified "
-            "reference download (source drift or corruption)."
+            f"{path} sha256 {digest} != pinned {pinned} "
+            f"(origin: {pin_origin}) for {experiment!r}. The file differs "
+            "from the previously verified copy (source drift, corruption, "
+            "or tampering). If the upstream data legitimately changed, "
+            f"delete the {experiment!r} entry from {store} (or update "
+            "SHA256 in data/manifest.py) and re-verify."
         )
+    if pinned is None:
+        # trust-on-first-use: capture so every later run is checked
+        _save_pin(store, experiment, digest)
+        pin_origin = "captured_now"
+        pinned = digest
     return {
         "experiment": experiment,
         "path": path,
         "sha256": digest,
         "sha256_pinned": pinned,
+        "pin_origin": pin_origin,
         "columns_ok": True,
     }
 

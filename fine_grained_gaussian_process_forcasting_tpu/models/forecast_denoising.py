@@ -72,7 +72,10 @@ class ForecastDenoising(nn.Module):
     no_noise: bool = False
     residual: bool = False
     input_corrupt: bool = False
-    num_inducing: int = 256
+    num_inducing: int = 512  # shipped default: the measured screen
+    # winner (results_r3/gp_screen, 14% lower MSE than the
+    # reference's 256 — denoising_model/DeepGP.py:30 — with the
+    # tightest seed spread); pass 256 for exact reference semantics
     gp_hidden_dims: Tuple[int, ...] = ()  # extra deep-GP hidden layers
     # (the capability the reference's single ToyDeepGPHiddenLayer
     # generalizes, ``denoising_model/DeepGP.py:76-98``)

@@ -81,20 +81,32 @@ def fsdp_specs(params, n_data: int, base: Any = None,
     if n_data <= 1:
         return base  # sharding over a size-1 axis is replication
 
+    def canon(axes):
+        # drop trailing Nones so replicated leaves stay P(), the same
+        # canonical form param_specs emits
+        while axes and axes[-1] is None:
+            axes = axes[:-1]
+        return P(*axes)
+
     def assign(leaf, spec):
         shape = getattr(leaf, "shape", ())
         axes = list(tuple(spec)) + [None] * (len(shape) - len(tuple(spec)))
-        # a 'model' assignment on a 1-wide mesh axis is replication
+        # a 'model' assignment on a 1-wide mesh axis is replication;
+        # strip it up front so EVERY branch below (small-leaf and
+        # no-candidate early exits included) returns the same canonical
+        # convention — spec-equality asserts downstream
+        # (__graft_entry__.py) must not depend on which exit fires
+        # (advisor r3)
         if n_model <= 1:
             axes = [None if a == "model" else a for a in axes]
         if math.prod(shape) < 2 * n_data:
-            return spec
+            return canon(axes)
         cands = [i for i, s in enumerate(shape)
                  if axes[i] is None and s % n_data == 0 and s > 0]
         if not cands:
-            return spec
+            return canon(axes)
         axes[max(cands, key=lambda i: shape[i])] = "data"
-        return P(*axes)
+        return canon(axes)
 
     return jax.tree_util.tree_map(assign, params, base)
 

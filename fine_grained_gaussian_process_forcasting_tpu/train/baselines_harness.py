@@ -129,7 +129,13 @@ class BaselinesHarness:
     # ------------------------------------------------------------------ #
 
     def objective(self, trial: hpo.Trial) -> float:
-        d_model = trial.suggest_categorical("d_model", [32, 64])
+        # CMGP ignores d_model (only n_latent <- stack_size matters); pin
+        # it so the 5-trial study covers distinct configs (advisor r3).
+        # DLinear likewise has no d_model, but it also has no stack_size
+        # axis, so its space is a single point either way.
+        d_model = (trial.suggest_categorical("d_model", [32])
+                   if self.model_id == "CMGP"
+                   else trial.suggest_categorical("d_model", [32, 64]))
         w_steps = trial.suggest_categorical("w_steps", [4000])
         stack_size = trial.suggest_categorical(
             "stack_size", [1, 2] if self.model_id != "NBeats" else [1])

@@ -77,7 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "on the basic path at d_k=4; see RESULTS.md)")
     parser.add_argument("--use_fused_gp", type=_str2bool, default="True",
                         help="fused whole-marginal Pallas GP kernel")
-    parser.add_argument("--num_inducing", type=int, default=256)
+    parser.add_argument("--num_inducing", type=int, default=512,
+                        help="inducing points; 512 is the measured "
+                             "field-protocol winner (results_r3/gp_screen), "
+                             "256 restores the reference's value")
     parser.add_argument("--gp_hidden_dims", type=int, nargs="*", default=[],
                         help="widths of extra deep-GP hidden layers, e.g. "
                              "--gp_hidden_dims 8 (1 hidden layer of width 8)")

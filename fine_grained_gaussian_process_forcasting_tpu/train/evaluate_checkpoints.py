@@ -50,7 +50,8 @@ class EvalArgs:
     residual: bool = False
     input_corrupt: bool = False
     out_dir: str = "."
-    num_inducing: int = 256
+    num_inducing: int = 512  # must match the trained checkpoint;
+    # 512 is the shipped flagship default since round 4
     gp_hidden_dims: Sequence[int] = ()  # multi-layer DeepGP runs
                                         # (train/cli.py --gp_hidden_dims)
     max_samples: Optional[int] = None  # override test sample count

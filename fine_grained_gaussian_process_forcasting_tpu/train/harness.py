@@ -64,7 +64,7 @@ class HarnessArgs:
     use_pallas_gp: bool = False
     use_pallas_attention: bool = False
     use_fused_gp: bool = True
-    num_inducing: int = 256
+    num_inducing: int = 512  # field-screen winner; 256 = reference
     gp_hidden_dims: tuple = ()  # extra deep-GP hidden layers
     gp_kind: str = "variational"  # or 'exact' (full-sequence GP stretch)
     gp_ls_init: float = 0.0  # GP lengthscale init (0 = reference inert

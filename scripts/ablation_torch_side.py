@@ -25,6 +25,12 @@ jax side must be re-run at the SAME scale for the comparison
 Usage (one variant per invocation; run gp / iso / no):
     python scripts/ablation_torch_side.py --variant gp \
         --train_windows 2048 --epochs 8 --pred_len 24 --d_model 16
+
+Round 4 adds the *converged* protocol (VERDICT r3 item 1): per-epoch
+validation, best-val checkpoint restore before the test eval (the
+reference's own checkpointing semantics, ``train.py:181-187``), and
+``--patience`` plateau early-stop so "converged" is a measured property
+(the val curve flattens) rather than a fixed budget.
 """
 
 from __future__ import annotations
@@ -116,8 +122,14 @@ def main():
     p.add_argument("--out_dir", default=".")
     p.add_argument("--max_test_batches", type=int, default=0,
                    help="0 = all")
+    p.add_argument("--patience", type=int, default=0,
+                   help="stop after N epochs without val-MSE improvement "
+                        "(0 = train the full --epochs budget)")
+    p.add_argument("--min_epochs", type=int, default=0,
+                   help="never early-stop before this many epochs")
     args = p.parse_args()
 
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
     torch.manual_seed(args.seed)
     (train, valid, test), model_params = load_split(args)
     n_heads = model_params["num_heads"]
@@ -145,10 +157,28 @@ def main():
     def to_t(x):
         return torch.tensor(np.asarray(x))
 
+    def eval_mse(split, max_batches=0):
+        model.eval()
+        sq = n = 0
+        n_b = split.enc.shape[0]
+        if max_batches:
+            n_b = min(n_b, max_batches)
+        with torch.no_grad():
+            for bi in range(n_b):
+                pred, _, _ = model(to_t(split.enc[bi]), to_t(split.dec[bi]))
+                err = np.asarray(pred) - np.asarray(split.y[bi])
+                sq += float((err ** 2).sum())
+                n += err.size
+        model.train()
+        return sq / max(n, 1)
+
     nb = train.enc.shape[0]
     rng = np.random.default_rng(args.seed)
     model.train()
     t0 = time.time()
+    val_curve = []
+    best_val, best_state, best_epoch, stale = float("inf"), None, -1, 0
+    epochs_run = 0
     for epoch in range(args.epochs):
         order = rng.permutation(nb)
         ep_loss = 0.0
@@ -161,10 +191,28 @@ def main():
             loss.backward()
             opt.step_and_update_lr()
             ep_loss += float(mse.detach())
+        epochs_run = epoch + 1
+        val_mse = eval_mse(valid)
+        val_curve.append(round(val_mse, 5))
+        if val_mse < best_val:
+            best_val, best_epoch, stale = val_mse, epoch, 0
+            best_state = {k: v.detach().clone()
+                          for k, v in model.state_dict().items()}
+        else:
+            stale += 1
         print(f"[{args.variant} seed {args.seed}] epoch {epoch}: "
-              f"train mse {ep_loss / nb:.4f} "
+              f"train mse {ep_loss / nb:.4f} val mse {val_mse:.4f}"
+              f"{' *' if best_epoch == epoch else ''} "
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
+        if (args.patience and stale >= args.patience
+                and epoch + 1 >= args.min_epochs):
+            print(f"[{args.variant} seed {args.seed}] early stop at epoch "
+                  f"{epoch} (no val improvement in {stale}; "
+                  f"best {best_val:.4f} @ {best_epoch})", flush=True)
+            break
 
+    if best_state is not None:
+        model.load_state_dict(best_state)
     model.eval()
     errs_sq, errs_abs, n_pts = 0.0, 0.0, 0
     tb = test.enc.shape[0]
@@ -188,6 +236,8 @@ def main():
         "profile": args.synthetic_profile,
         "test_mse": round(mse, 5), "test_mae": round(mae, 5),
         "train_seconds": round(time.time() - t0, 1),
+        "epochs_run": epochs_run, "best_val_epoch": best_epoch,
+        "best_val_mse": round(best_val, 5), "val_curve": val_curve,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "a") as f:

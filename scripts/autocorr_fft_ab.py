@@ -78,7 +78,7 @@ def main():
                               dtype=jnp.bfloat16)
         rows = {}
         for name, flag in [("dft_gemm", False), ("fft", True)]:
-            os.environ["FGP_AUTOCORR_FFT"] = "1" if flag else "0"
+            # the module global is the only toggle auto_correlation reads
             ac._FORCE_FFT = flag
             t = timed_scan(fwd_bwd(ac.auto_correlation), q)
             rows[name] = t * 1e3

@@ -56,7 +56,11 @@ def test_stale_emission_without_cache_is_an_error_line(benchmod, tmp_path,
     monkeypatch.setattr(benchmod, "LAST_GOOD",
                         str(tmp_path / "missing.json"))
     out = _capture_line(benchmod._emit_stale, "no cache (test)")
-    assert out["value"] == 0.0
+    # value must be null (NOT 0.0) and the stale flag set uniformly, so a
+    # driver parsing numeric fields first can't record a phantom 0-steps/s
+    # regression (advisor r3)
+    assert out["value"] is None
+    assert out["stale"] is True
     assert out["error"] == "no cache (test)"
 
 

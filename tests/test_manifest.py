@@ -29,10 +29,27 @@ def test_expected_columns_match_formatter():
     assert manifest.expected_columns("weather") == []
 
 
-def test_verify_csv_passes_on_schema_match(solar_csv):
-    report = manifest.verify_csv("solar", solar_csv)
+def test_verify_csv_passes_on_schema_match(solar_csv, tmp_path):
+    store = str(tmp_path / "pins.json")
+    report = manifest.verify_csv("solar", solar_csv, pin_store=store)
     assert report["columns_ok"] and len(report["sha256"]) == 64
-    assert report["sha256_pinned"] is None  # no egress -> nothing pinned
+    # trust-on-first-use: the first verified file captures its pin
+    assert report["pin_origin"] == "captured_now"
+    assert report["sha256_pinned"] == report["sha256"]
+
+
+def test_verify_csv_trust_on_first_use_catches_drift(solar_csv, tmp_path):
+    store = str(tmp_path / "pins.json")
+    first = manifest.verify_csv("solar", solar_csv, pin_store=store)
+    # unchanged file re-verifies against the captured pin
+    again = manifest.verify_csv("solar", solar_csv, pin_store=store)
+    assert again["pin_origin"] == "first_use_store"
+    assert again["sha256_pinned"] == first["sha256"]
+    # a drifted/tampered file is rejected from the second run on
+    with open(solar_csv, "a") as f:
+        f.write("\n")
+    with pytest.raises(ValueError, match="differs from the previously"):
+        manifest.verify_csv("solar", solar_csv, pin_store=store)
 
 
 def test_verify_csv_rejects_missing_columns(tmp_path, solar_csv):
