@@ -94,8 +94,23 @@ class ForecastDenoising(nn.Module):
     # (gpytorch softplus default ~0.693, which leaves the kernel inert in
     # d=32 — measured); <0 = auto sqrt(2 d); >0 = explicit value.
     # See gp/deep_gp.py ls_init.
+    lam_clip_max: float = 0.005  # upper clip of the learned ELBO weight
+    # (reference: ``forecast_denoising.py:102`` clips to [0, 0.005]).
+    # 0.0 drops the ELBO term entirely (blur-only ablation arm).
+    gp_inject: str = "joint"  # where the GP-blur mean is ADDED:
+    # 'joint' = both streams (reference, ``denoise_model_2.py:50-51``),
+    # 'enc' / 'dec' = one stream only, 'none' = ELBO-only (posterior is
+    # still computed over the joint states so the loss term is
+    # unchanged).  Variational path only; root-cause knob for the
+    # InfoDG inversion (RESULTS.md round-4 informer ablation).
 
     def setup(self):
+        if self.gp_inject not in ("joint", "enc", "dec", "none"):
+            raise ValueError(f"unknown gp_inject {self.gp_inject!r}")
+        if self.gp_inject != "joint" and self.gp_kind == "exact":
+            raise ValueError(
+                "gp_inject applies to the variational path only; the "
+                "exact blur smooths each stream in place (gp/exact_blur)")
         d = self.d_model
         if self.backbone == "lstm":
             self.forecasting_model = LSTMBackbone(
@@ -162,9 +177,14 @@ class ForecastDenoising(nn.Module):
             # (the two streams are independent given the shared params)
             s_enc = enc_hidden.shape[1]
             joint = jnp.concatenate([enc_hidden, dec_hidden], axis=1)
-            joint_noisy, posterior_joint = self._add_gp_noise(joint)
-            enc_noisy = joint_noisy[:, :s_enc]
-            dec_noisy = joint_noisy[:, s_enc:]
+            posterior_joint = self.deep_gp(joint)  # marginals over (b, s)
+            eps = self.proj_up(posterior_joint.mean[..., None])  # (b, s, d)
+            enc_noisy = (enc_hidden + eps[:, :s_enc]
+                         if self.gp_inject in ("joint", "enc")
+                         else enc_hidden)
+            dec_noisy = (dec_hidden + eps[:, s_enc:]
+                         if self.gp_inject in ("joint", "dec")
+                         else dec_hidden)
             posterior = GPPosterior(
                 mean=posterior_joint.mean[..., s_enc:],
                 var=posterior_joint.var[..., s_enc:],
@@ -243,6 +263,6 @@ class ForecastDenoising(nn.Module):
         mse = jnp.zeros(())
         if y_true is not None:
             mse = jnp.mean((y_true - final) ** 2)
-            lam = jnp.clip(self.lam[0], 0.0, 0.005)
+            lam = jnp.clip(self.lam[0], 0.0, self.lam_clip_max)
             loss = mse + lam * mll_error
         return ForecastOutput(predictions=final, loss=loss, mse=mse)

@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "in d=32, see RESULTS.md 'activating the "
                              "GP'), 'auto' = sqrt(2 d_model), or an "
                              "explicit float lengthscale")
+    parser.add_argument("--lam_clip_max", type=float, default=0.005,
+                        help="ELBO-weight clip ceiling (reference 0.005; "
+                             "0 = blur-only ablation arm)")
+    parser.add_argument("--gp_inject", type=str, default="joint",
+                        choices=["joint", "enc", "dec", "none"],
+                        help="GP-blur injection point (ELBO unchanged); "
+                             "'joint' = reference semantics")
     parser.add_argument("--max_train_samples", type=int, default=None)
     parser.add_argument("--clip_grad_norm", type=float, default=0.0,
                         help="global-norm gradient clipping; 0 = off "
@@ -195,6 +202,8 @@ def main(argv=None):
                 gp_kind=args.gp_kind,
                 gp_ls_init=(-1.0 if args.gp_ls_init == "auto"
                             else float(args.gp_ls_init)),
+                lam_clip_max=args.lam_clip_max,
+                gp_inject=args.gp_inject,
                 max_train_samples=args.max_train_samples,
                 max_valid_samples=args.max_valid_samples,
                 d_model_choices=tuple(args.d_model_choices),

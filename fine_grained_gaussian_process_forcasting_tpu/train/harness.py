@@ -69,6 +69,10 @@ class HarnessArgs:
     gp_kind: str = "variational"  # or 'exact' (full-sequence GP stretch)
     gp_ls_init: float = 0.0  # GP lengthscale init (0 = reference inert
     # init; <0 = auto sqrt(2 d); >0 explicit) — models/forecast_denoising
+    lam_clip_max: float = 0.005  # ELBO-weight clip ceiling (reference
+    # 0.005; 0.0 = blur-only ablation) — models/forecast_denoising
+    gp_inject: str = "joint"  # GP-blur injection point: joint|enc|dec|
+    # none (ELBO unchanged) — models/forecast_denoising
     # HPO space overrides (reference defaults when None)
     d_model_choices: Tuple[int, ...] = (32, 16)
     stack_choices: Tuple[int, ...] = (1, 3)
@@ -251,6 +255,8 @@ class ExperimentHarness:
             gp_hidden_dims=tuple(self.args.gp_hidden_dims),
             gp_kind=self.args.gp_kind,
             gp_ls_init=self.args.gp_ls_init,
+            lam_clip_max=self.args.lam_clip_max,
+            gp_inject=self.args.gp_inject,
             use_pallas_gp=self.args.use_pallas_gp,
             use_pallas_attention=self.args.use_pallas_attention,
             use_fused_gp=self.args.use_fused_gp,

@@ -215,3 +215,41 @@ def test_multilayer_gp_composite_end_to_end():
     gnorm = jnp.sqrt(sum(jnp.sum(g ** 2)
                          for g in jax.tree_util.tree_leaves(grads)))
     assert bool(jnp.isfinite(loss)) and bool(jnp.isfinite(gnorm))
+
+
+def test_gp_inject_and_lam_clip_knobs():
+    """Round-4 root-cause knobs (RESULTS.md informer ablation):
+    gp_inject moves the blur injection point with the ELBO unchanged;
+    lam_clip_max=0 drops the ELBO term from the joint loss."""
+    enc, dec, y = _data()
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "sampling": jax.random.PRNGKey(2)}
+
+    ref = _model(denoise=True, gp=True)
+    variables = ref.init(rngs, enc, dec, y, training=True)
+
+    def run(**kw):
+        m = _model(denoise=True, gp=True, **kw)
+        return m.apply(variables, enc, dec, y, training=True,
+                       rngs={"noise": jax.random.PRNGKey(3),
+                             "sampling": jax.random.PRNGKey(4)})
+
+    base = run()
+    none = run(gp_inject="none")
+    dec_only = run(gp_inject="dec")
+    # inert-init GP still adds a LinearMean blur, so the predictions move
+    assert not np.allclose(np.asarray(base.predictions),
+                           np.asarray(none.predictions))
+    assert not np.allclose(np.asarray(none.predictions),
+                           np.asarray(dec_only.predictions))
+    # 'none' leaves the denoiser inputs clean; ELBO term identical: the
+    # joint loss minus the MSE matches base's (same posterior, same lam)
+    assert np.isclose(float(base.loss) - float(base.mse),
+                      float(none.loss) - float(none.mse), rtol=1e-5, atol=1e-7)
+    # lam_clip_max=0 removes the ELBO from the loss entirely
+    lam0 = run(lam_clip_max=0.0)
+    assert np.isclose(float(lam0.loss), float(lam0.mse), rtol=0, atol=0)
+    # exact blur rejects non-joint injection
+    with pytest.raises(ValueError):
+        _model(gp_kind="exact", gp_inject="dec").init(
+            rngs, enc, dec, y, training=True)
