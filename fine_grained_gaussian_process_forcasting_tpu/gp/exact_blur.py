@@ -36,17 +36,37 @@ from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.cholesky import (
 _NOISE_FLOOR = 1e-4
 
 
+def _softplus_inv_init(value: float, auto: float):
+    """Raw-param initializer for a softplus-constrained positive:
+    0.0 = reference raw-zeros init (softplus(0) ~ 0.693), <0 = ``auto``,
+    >0 = the explicit positive value (matches gp/deep_gp.py ls_init)."""
+    if value == 0.0:
+        return nn.initializers.zeros
+    import numpy as np
+
+    v0 = float(auto) if value < 0 else float(value)
+    return nn.initializers.constant(float(np.log(np.expm1(v0))))
+
+
 class ExactGPBlur(nn.Module):
     input_dims: int
     use_pallas: bool = False
+    ls_init: float = 0.0  # initial lengthscale: 0 = reference raw-zeros
+    # (~0.693, inert in d=32 like the variational kernel — PARITY.md),
+    # <0 = auto sqrt(2 d) (the pairwise-distance scale), >0 explicit
+    noise_init: float = 0.0  # initial likelihood noise: 0 = reference
+    # (~0.693 — a LARGE floor that dominates K's unit outputscale),
+    # >0 explicit (round-4 tuning sweep, scripts/exact_blur_sweep_r4.py)
 
     def setup(self):
         d = self.input_dims
         self.raw_lengthscale = self.param(
-            "raw_lengthscale", nn.initializers.zeros, (d,))
+            "raw_lengthscale",
+            _softplus_inv_init(self.ls_init, float(2.0 * d) ** 0.5), (d,))
         self.raw_outputscale = self.param(
             "raw_outputscale", nn.initializers.zeros, ())
-        self.raw_noise = self.param("raw_noise", nn.initializers.zeros, ())
+        self.raw_noise = self.param(
+            "raw_noise", _softplus_inv_init(self.noise_init, 0.693), ())
         self.mean_weight = self.param(
             "mean_weight", nn.initializers.normal(1.0 / d), (d,))
         self.mean_bias = self.param("mean_bias", nn.initializers.zeros, ())

@@ -93,7 +93,11 @@ class ForecastDenoising(nn.Module):
     gp_ls_init: float = 0.0  # GP lengthscale init: 0.0 = reference
     # (gpytorch softplus default ~0.693, which leaves the kernel inert in
     # d=32 — measured); <0 = auto sqrt(2 d); >0 = explicit value.
-    # See gp/deep_gp.py ls_init.
+    # Applies to both gp kinds (gp/deep_gp.py ls_init,
+    # gp/exact_blur.py ls_init).
+    exact_noise_init: float = 0.0  # exact-blur likelihood-noise init
+    # (gp_kind='exact' only): 0 = reference raw-zeros (~0.693), >0
+    # explicit — see gp/exact_blur.py noise_init
     lam_clip_max: float = 0.005  # upper clip of the learned ELBO weight
     # (reference: ``forecast_denoising.py:102`` clips to [0, 0.005]).
     # 0.0 drops the ELBO term entirely (blur-only ablation arm).
@@ -132,17 +136,13 @@ class ForecastDenoising(nn.Module):
         self.dec_embedding = nn.Dense(d)
         self.final_projection = nn.Dense(1)
         if self.gp_kind == "exact":
-            if self.gp_ls_init != 0.0:
-                raise ValueError(
-                    "gp_ls_init applies to the variational DeepGP only; "
-                    "the exact blur's kernel operates on within-sequence "
-                    "distances and keeps its own init (gp/exact_blur.py) "
-                    "— drop --gp_ls_init or use gp_kind='variational'")
             from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
                 ExactGPBlur,
             )
 
-            self.deep_gp = ExactGPBlur(input_dims=d)
+            self.deep_gp = ExactGPBlur(input_dims=d,
+                                       ls_init=self.gp_ls_init,
+                                       noise_init=self.exact_noise_init)
         else:
             self.deep_gp = DeepGP(
                 input_dims=d,

@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "in d=32, see RESULTS.md 'activating the "
                              "GP'), 'auto' = sqrt(2 d_model), or an "
                              "explicit float lengthscale")
+    parser.add_argument("--exact_noise_init", type=float, default=0.0,
+                        help="exact-blur (gp_kind=exact) likelihood-noise "
+                             "init: 0 = reference (~0.693), >0 explicit")
     parser.add_argument("--lam_clip_max", type=float, default=0.005,
                         help="ELBO-weight clip ceiling (reference 0.005; "
                              "0 = blur-only ablation arm)")
@@ -202,6 +205,7 @@ def main(argv=None):
                 gp_kind=args.gp_kind,
                 gp_ls_init=(-1.0 if args.gp_ls_init == "auto"
                             else float(args.gp_ls_init)),
+                exact_noise_init=args.exact_noise_init,
                 lam_clip_max=args.lam_clip_max,
                 gp_inject=args.gp_inject,
                 max_train_samples=args.max_train_samples,

@@ -69,6 +69,8 @@ class HarnessArgs:
     gp_kind: str = "variational"  # or 'exact' (full-sequence GP stretch)
     gp_ls_init: float = 0.0  # GP lengthscale init (0 = reference inert
     # init; <0 = auto sqrt(2 d); >0 explicit) — models/forecast_denoising
+    exact_noise_init: float = 0.0  # exact-blur noise init (0 =
+    # reference ~0.693; >0 explicit) — gp/exact_blur.py
     lam_clip_max: float = 0.005  # ELBO-weight clip ceiling (reference
     # 0.005; 0.0 = blur-only ablation) — models/forecast_denoising
     gp_inject: str = "joint"  # GP-blur injection point: joint|enc|dec|
@@ -255,6 +257,7 @@ class ExperimentHarness:
             gp_hidden_dims=tuple(self.args.gp_hidden_dims),
             gp_kind=self.args.gp_kind,
             gp_ls_init=self.args.gp_ls_init,
+            exact_noise_init=self.args.exact_noise_init,
             lam_clip_max=self.args.lam_clip_max,
             gp_inject=self.args.gp_inject,
             use_pallas_gp=self.args.use_pallas_gp,

@@ -69,9 +69,7 @@ def timed_scan(body, init_x, iters=20):
         float(acc)
         best, x = float("inf"), init_x
         for _ in range(3):
-            x = x * (1.0 + 1e-16 * float(acc)).astype(x.dtype) \
-                if x.dtype == jnp.bfloat16 else \
-                x * (1.0 + 1e-16 * float(acc))
+            x = (x * (1.0 + 1e-16 * float(acc))).astype(x.dtype)
             t0 = time.perf_counter()
             acc = compiled(x)
             float(acc)

@@ -329,3 +329,35 @@ def test_ls_init_auto_engages_the_gp():
     raw = v["params"]["output_layer"]["raw_lengthscale"]
     np.testing.assert_allclose(np.log1p(np.exp(np.asarray(raw))), 5.0,
                                rtol=1e-5)
+
+
+def test_exact_blur_init_knobs():
+    """Round-4 tuning knobs (gp/exact_blur.py ls_init/noise_init): the
+    softplus-inverse inits land the constrained values exactly, and the
+    reference default (raw zeros) is preserved when both are 0."""
+    import numpy as np
+    from fine_grained_gaussian_process_forcasting_tpu.gp.exact_blur import (
+        ExactGPBlur,
+    )
+    from fine_grained_gaussian_process_forcasting_tpu.gp.kernels import (
+        softplus,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 4)),
+                    dtype=jnp.float32)
+    ref = ExactGPBlur(input_dims=4)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(v["params"]["raw_noise"]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["raw_lengthscale"]), 0.0)
+
+    tuned = ExactGPBlur(input_dims=4, ls_init=-1.0, noise_init=0.1)
+    vt = tuned.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        float(softplus(vt["params"]["raw_noise"])), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(softplus(vt["params"]["raw_lengthscale"])),
+        np.sqrt(8.0), rtol=1e-6)
+    out = tuned.apply(vt, x)  # smooth() path stays finite
+    assert np.all(np.isfinite(np.asarray(out[0] if isinstance(out, tuple)
+                                         else out)))
