@@ -111,6 +111,11 @@ class ForecastDenoising(nn.Module):
     def setup(self):
         if self.gp_inject not in ("joint", "enc", "dec", "none"):
             raise ValueError(f"unknown gp_inject {self.gp_inject!r}")
+        if self.lam_clip_max < 0.0:
+            raise ValueError(
+                f"lam_clip_max must be >= 0 (got {self.lam_clip_max}); "
+                "jnp.clip with max < min would silently flip the ELBO "
+                "weight's sign")
         if self.gp_inject != "joint" and self.gp_kind == "exact":
             raise ValueError(
                 "gp_inject applies to the variational path only; the "
@@ -235,7 +240,12 @@ class ForecastDenoising(nn.Module):
             de_out, posterior = self._denoise(enc_out, dec_out, training)
             final = self.final_projection(de_out[:, -self.pred_len :, :])
 
-            if self.gp and training and y_true is not None:
+            # lam_clip_max == 0.0 is the blur-only ablation arm: the ELBO
+            # weight is statically zero, so skip the MLL entirely — both
+            # to save its cost and so a non-finite ELBO (the known
+            # exact-blur failure mode) cannot poison the loss via 0*inf.
+            if (self.gp and training and y_true is not None
+                    and self.lam_clip_max > 0.0):
                 target = y_true[..., 0]  # (b, pred_len)
                 n = target.shape[-1]
                 if self.gp_kind == "exact":

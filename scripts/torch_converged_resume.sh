@@ -11,7 +11,9 @@ OUT="$OUT_DIR/torch_converged.jsonl"
 mkdir -p "$OUT_DIR"
 for seed in 8220 2914 1122; do
   for variant in no iso gp; do
-    if [ -f "$OUT" ] && grep -q "\"variant\": \"$variant\", \"seed\": $seed," "$OUT"; then
+    # Match fields independently so resume-skipping survives any change
+    # to json.dumps key order / separators in ablation_torch_side.py.
+    if [ -f "$OUT" ] && grep "\"variant\": \"$variant\"" "$OUT" | grep -Eq "\"seed\": $seed[,}]"; then
       echo "=== skip (done): seed $seed variant $variant ==="
       continue
     fi
