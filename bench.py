@@ -754,20 +754,35 @@ def _emit_stale(reason: str) -> None:
                           "error": reason}), flush=True)
 
 
-def _device_responsive(timeout_s: float = 120.0) -> bool:
+def _device_responsive(timeout_s: float = 180.0, attempts: int = 3,
+                       backoff_s: float = 15.0) -> bool:
     """Probe the device in a SUBPROCESS (a futex-blocked in-process RPC
-    can't reliably be interrupted) with a tiny jitted matmul."""
+    can't reliably be interrupted) with a tiny jitted matmul.
+
+    Retries with backoff before declaring the tunnel dead: a COLD tunnel
+    connect alone was measured at ~150s on this host (round 5), so a
+    single short probe mis-flags a healthy-but-cold device and the
+    driver records a stale bench (exactly what happened to BENCH_r04)."""
     import subprocess
     import sys
+    import time
     code = ("import jax, jax.numpy as jnp; "
             "y = jax.jit(lambda a: a @ a)(jnp.ones((128, 128))); "
             "print(float(y.sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            print(f"[bench] device probe attempt {attempt + 1}/{attempts} "
+                  f"failed; retrying in {backoff_s:.0f}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(backoff_s)
+    return False
 
 
 if __name__ == "__main__":
