@@ -133,12 +133,15 @@ def bench_jax(steps: int = 30, bf16: bool = False,
     }
 
 
-def bench_prod_step(steps: int = 5) -> dict:
+def bench_prod_step(steps: int = 5, attn_type: str = "autoformer",
+                    use_pallas_attention=None) -> dict:
     """Production-dims AutoDG step (d_model 512, enc 512, b 64, bf16,
     autoformer — the flagship's op family at serving-relevant width).
     Same slope-timing/dedup/host-read discipline as bench_jax; the
     >50%-of-peak result is reproducible via
-    ``scripts/perf_scale.py xla_bf16 --attn_type autoformer``."""
+    ``scripts/perf_scale.py xla_bf16 --attn_type autoformer``.
+    ``attn_type``/``use_pallas_attention`` expose the basic-path d512
+    attention-route measurement (VERDICT r4 item 6)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -151,8 +154,9 @@ def bench_prod_step(steps: int = 5) -> dict:
     b, enc_len, dec_len, pred, feats, dm = 64, 512, 128, 128, 8, 512
     model = ForecastDenoising(
         src_input_size=feats, tgt_input_size=feats, d_model=dm, n_heads=8,
-        d_k=dm // 8, stack_size=2, pred_len=pred, attn_type="autoformer",
+        d_k=dm // 8, stack_size=2, pred_len=pred, attn_type=attn_type,
         gp=True, denoise=True, num_inducing=INDUCING,
+        use_pallas_attention=use_pallas_attention,
         compute_dtype=jnp.bfloat16, gp_compute_dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
@@ -618,6 +622,10 @@ def main():
     gemm_f32 = bench_ref_gemm(bf16=False)
     gemm_bf16 = bench_ref_gemm(bf16=True)
     prod = bench_prod_step()
+    # basic-path production step under the SHIPPED route (round-5
+    # promotion: use_pallas_attention=None -> auto -> fused Pallas kernel
+    # at d_k=64; VERDICT r4 item 6)
+    prod_basic = bench_prod_step(attn_type="basic")
 
     cache_cfg = "AutoDG solar b256 enc192 pred96 m512"
     torch_sps = None
@@ -713,6 +721,12 @@ def main():
         "prod_d512_autodg_bf16_tflops": round(prod["tflops"], 2),
         "prod_d512_autodg_bf16_pct_of_bf16_peak": round(
             prod["pct_of_bf16_peak"], 2),
+        # basic (softmax) op family at the same production dims, shipped
+        # shape-gated attention route (auto -> pallas at d_k=64)
+        "prod_d512_basic_bf16_ms": round(prod_basic["ms"], 2),
+        "prod_d512_basic_bf16_pct_of_bf16_peak": round(
+            prod_basic["pct_of_bf16_peak"], 2),
+        "prod_d512_basic_attention_route": "pallas-fused (auto, d_k=64)",
     }
     with open(LAST_GOOD, "w") as f:
         json.dump(result, f)

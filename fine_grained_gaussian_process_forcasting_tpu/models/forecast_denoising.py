@@ -85,7 +85,7 @@ class ForecastDenoising(nn.Module):
     use_fused_gp: bool = True  # whole-marginal fused Pallas GP kernel
     # (ops/pallas/fused_gp.py); A/B-verified faster than the XLA path on
     # TPU at the flagship shapes, numerically pinned by tests/test_gp.py
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
     compute_dtype: Optional[jnp.dtype] = None  # e.g. bfloat16 for the
     # forecaster's matmul path; the GP/losses stay fp32
     gp_compute_dtype: Optional[jnp.dtype] = None  # bf16 for the GP's two

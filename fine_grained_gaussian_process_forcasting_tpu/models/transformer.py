@@ -94,7 +94,7 @@ class MultiHeadAttention(nn.Module):
     fedformer_seq_len: int = 96  # hardcoded in the reference dispatcher (:69)
     fedformer_modes: int = 8
     dtype: Optional[jnp.dtype] = None
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, training: bool = False) -> jnp.ndarray:
@@ -144,16 +144,18 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q, d_k), split(k, d_k), split(v, d_v)
 
+        # conv-family ops keep their boolean opt-in (their pallas route is
+        # unmeasured at production dims); auto (None) resolves to False
         if self.attn_type == "ATA":
             context, _ = ATAAttention(
                 d_k=d_k, n_heads=h, name="ata",
-                use_pallas_attention=self.use_pallas_attention)(q, k, v)
+                use_pallas_attention=bool(self.use_pallas_attention))(q, k, v)
         elif self.attn_type == "ACAT":
             context, _ = ACATAttention(d_k=d_k, n_heads=h, name="acat")(q, k, v)
         elif self.attn_type == "conv_attn":
             context, _ = ConvAttnAttention(
                 d_k=d_k, n_heads=h, name="conv_attn",
-                use_pallas_attention=self.use_pallas_attention)(q, k, v)
+                use_pallas_attention=bool(self.use_pallas_attention))(q, k, v)
         elif self.attn_type == "autoformer":
             # batch-shared delay aggregator in training, per-sample in eval
             # (reference model.train()/eval(), ``Autoformer.py:118-121``)
@@ -165,13 +167,21 @@ class MultiHeadAttention(nn.Module):
                 rng = jax.random.PRNGKey(0)
             context, _ = prob_sparse_attention(q, k, v, rng)
         elif self.attn_type == "basic":
-            if self.use_pallas_attention:
+            # Route resolution (round 5): None = auto — the fused Pallas
+            # kernel ships as the default at lane-filling head dims, where
+            # the round-4 kernel revision wins the WHOLE d512 production
+            # step 8.6% bf16 / 7.3% fp32 over XLA's native path
+            # (results_r5/perf_scale_attn_ab.log); tiny head dims (the
+            # reference's d_k=4 flagship) stay on XLA, where the 32x lane
+            # padding makes the per-head kernel ~2x slower.  Explicit
+            # True/False still force either path.
+            use_pallas = (d_k >= 64 if self.use_pallas_attention is None
+                          else self.use_pallas_attention)
+            if use_pallas:
                 if d_k >= 64:
                     # lane-filling head dim: the per-(batch, head) fused
-                    # softmax kernel is the better pallas variant (no
-                    # lane padding; scores/probs never in HBM), though
-                    # XLA's native path still wins end-to-end at d_k=64
-                    # (RESULTS.md production table) — pallas stays opt-in
+                    # softmax kernel (no lane padding; scores/probs never
+                    # touch HBM)
                     from fine_grained_gaussian_process_forcasting_tpu.ops.pallas.flash_attention import (
                         fused_attention,
                     )
@@ -206,7 +216,7 @@ class EncoderLayer(nn.Module):
     n_heads: int
     attn_type: str
     dtype: Optional[jnp.dtype] = None
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -235,7 +245,7 @@ class DecoderLayer(nn.Module):
     n_heads: int
     attn_type: str
     dtype: Optional[jnp.dtype] = None
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, x, enc_out, training: bool = False):
@@ -265,7 +275,7 @@ class Encoder(nn.Module):
     n_layers: int
     attn_type: str
     dtype: Optional[jnp.dtype] = None
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -292,7 +302,7 @@ class Decoder(nn.Module):
     n_layers: int
     attn_type: str
     dtype: Optional[jnp.dtype] = None
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, x, enc_out, training: bool = False):
@@ -323,7 +333,7 @@ class Transformer(nn.Module):
     n_layers: int
     attn_type: str = "basic"
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bfloat16)
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
 
     @nn.compact
     def __call__(self, enc_inputs, dec_inputs,

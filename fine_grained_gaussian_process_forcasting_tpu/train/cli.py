@@ -31,6 +31,11 @@ def _str2bool(x: str) -> bool:
     return str(x).lower() == "true"
 
 
+def _str2bool_or_auto(x: str):
+    """'auto' -> None (shape-gated default route); else bool."""
+    return None if str(x).lower() == "auto" else _str2bool(x)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="forecast-blur-denoise trainer")
     parser.add_argument("--attn_type", type=str, default="ATA")
@@ -71,10 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "shifts and heteroscedastic corruption "
                              "(real-data character; data/synthetic.py)")
     parser.add_argument("--use_pallas_gp", type=_str2bool, default="False")
-    parser.add_argument("--use_pallas_attention", type=_str2bool,
-                        default="False",
-                        help="head-folded fused attention kernel (wins ~8%% "
-                             "on the basic path at d_k=4; see RESULTS.md)")
+    parser.add_argument("--use_pallas_attention", type=_str2bool_or_auto,
+                        default="auto",
+                        help="basic-path attention route: 'auto' (default) "
+                             "= fused Pallas kernel at d_k>=64 (measured "
+                             "whole-step win, RESULTS.md round 5), XLA "
+                             "below; True/False force either path")
     parser.add_argument("--use_fused_gp", type=_str2bool, default="True",
                         help="fused whole-marginal Pallas GP kernel")
     parser.add_argument("--num_inducing", type=int, default=512,

@@ -62,7 +62,7 @@ class HarnessArgs:
     backbone: str = "transformer"
     out_dir: str = "."
     use_pallas_gp: bool = False
-    use_pallas_attention: bool = False
+    use_pallas_attention: Optional[bool] = None  # None = auto: d_k>=64
     use_fused_gp: bool = True
     num_inducing: int = 512  # field-screen winner; 256 = reference
     gp_hidden_dims: tuple = ()  # extra deep-GP hidden layers

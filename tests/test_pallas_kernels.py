@@ -261,3 +261,28 @@ def test_head_folded_attention_gradients():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_attention_route_auto_is_shape_gated():
+    """Round-5 promotion contract: use_pallas_attention=None (the shipped
+    default) routes the basic path to the fused Pallas kernel exactly when
+    d_k >= 64 (the measured whole-step d512 win,
+    results_r5/perf_scale_attn_ab.log), stays on XLA at the reference's
+    tiny head dims, and explicit True/False still force either path."""
+    from fine_grained_gaussian_process_forcasting_tpu.models.transformer import (
+        MultiHeadAttention,
+    )
+
+    def uses_pallas(d_model, h, flag):
+        m = MultiHeadAttention(d_model=d_model, d_k=d_model // h,
+                               d_v=d_model // h, n_heads=h,
+                               attn_type="basic", use_pallas_attention=flag)
+        x = jnp.ones((2, 8, d_model))
+        p = m.init(jax.random.PRNGKey(0), x, x, x)
+        return "pallas" in str(
+            jax.make_jaxpr(lambda v: m.apply(v, x, x, x))(p))
+
+    assert uses_pallas(256, 4, None)        # auto, d_k=64 -> pallas
+    assert not uses_pallas(32, 8, None)     # auto, d_k=4  -> XLA
+    assert uses_pallas(32, 8, True)         # forced on
+    assert not uses_pallas(256, 4, False)   # forced off
