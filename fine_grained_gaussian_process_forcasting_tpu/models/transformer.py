@@ -167,16 +167,22 @@ class MultiHeadAttention(nn.Module):
                 rng = jax.random.PRNGKey(0)
             context, _ = prob_sparse_attention(q, k, v, rng)
         elif self.attn_type == "basic":
-            # Route resolution (round 5): None = auto — the fused Pallas
-            # kernel ships as the default at lane-filling head dims, where
-            # the round-4 kernel revision wins the WHOLE d512 production
-            # step 8.6% bf16 / 7.3% fp32 over XLA's native path
-            # (results_r5/perf_scale_attn_ab.log); tiny head dims (the
-            # reference's d_k=4 flagship) stay on XLA, where the 32x lane
-            # padding makes the per-head kernel ~2x slower.  Explicit
-            # True/False still force either path.
-            use_pallas = (d_k >= 64 if self.use_pallas_attention is None
-                          else self.use_pallas_attention)
+            # Route resolution (round 5): None = auto — on accelerator
+            # backends the Pallas route ships as the default at every
+            # head dim, with the variant picked by d_k below; both
+            # endpoints are measured WHOLE-STEP wins on v5e
+            # (results_r5/perf_scale_attn_ab.log: flash kernel +8.6%
+            # bf16 at d512/d_k=64; results_r5/perf_flagship_route.log:
+            # head-folded kernel +7.9% at flagship d_k=4).  On CPU,
+            # tiny head dims resolve to XLA so the test tier does not
+            # crawl through pallas interpret mode (kernel-vs-XLA parity
+            # is covered by explicit-flag tests in
+            # tests/test_pallas_kernels.py).  Explicit True/False still
+            # force either path.
+            if self.use_pallas_attention is None:
+                use_pallas = d_k >= 64 or jax.default_backend() != "cpu"
+            else:
+                use_pallas = self.use_pallas_attention
             if use_pallas:
                 if d_k >= 64:
                     # lane-filling head dim: the per-(batch, head) fused
