@@ -179,8 +179,13 @@ class MultiHeadAttention(nn.Module):
             # is covered by explicit-flag tests in
             # tests/test_pallas_kernels.py).  Explicit True/False still
             # force either path.
+            # At d_k >= 128 XLA retakes the lead (d1024/d_k=128: XLA
+            # 56.15 ms vs pallas 57.34, results_r5/perf_d1024.log), so
+            # auto caps the pallas route below it.
             if self.use_pallas_attention is None:
-                use_pallas = d_k >= 64 or jax.default_backend() != "cpu"
+                use_pallas = ((d_k >= 64
+                               or jax.default_backend() != "cpu")
+                              and d_k < 128)
             else:
                 use_pallas = self.use_pallas_attention
             if use_pallas:

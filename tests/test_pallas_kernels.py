@@ -283,6 +283,7 @@ def test_attention_route_auto_is_shape_gated():
             jax.make_jaxpr(lambda v: m.apply(v, x, x, x))(p))
 
     assert uses_pallas(256, 4, None)        # auto, d_k=64 -> pallas
-    assert not uses_pallas(32, 8, None)     # auto, d_k=4  -> XLA
+    assert not uses_pallas(32, 8, None)     # auto, d_k=4 on CPU -> XLA
+    assert not uses_pallas(512, 4, None)    # auto, d_k=128 -> XLA retakes
     assert uses_pallas(32, 8, True)         # forced on
     assert not uses_pallas(256, 4, False)   # forced off
