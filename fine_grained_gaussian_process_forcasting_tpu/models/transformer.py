@@ -121,7 +121,8 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dense(self.d_model, name="fed_out")(out.reshape(b, L, -1))
             return nn.Dense(self.d_model, use_bias=False, name="fc")(out)
 
-        if q_in is k_in and k_in is v_in:
+        is_self = q_in is k_in and k_in is v_in
+        if is_self:
             # Self-attention: one fused QKV GEMM.  At the reference's dims
             # the separate projections are (., 32)@(32, 32) — N=32 fills a
             # quarter of the 128-wide MXU lanes; fusing to N=2*h*d_k+h*d_v
@@ -181,11 +182,14 @@ class MultiHeadAttention(nn.Module):
             # force either path.
             # At d_k >= 128 XLA retakes the lead (d1024/d_k=128: XLA
             # 56.15 ms vs pallas 57.34, results_r5/perf_d1024.log), so
-            # auto caps the pallas route below it.
+            # auto caps the pallas route below it; cross-attention also
+            # stays on XLA (prod dec-cross: XLA 0.912 ms vs pallas
+            # 1.133, results_r4/softmax_ab.log — rectangular q/k panels
+            # lose the kernel's VMEM-residency advantage).
             if self.use_pallas_attention is None:
                 use_pallas = ((d_k >= 64
                                or jax.default_backend() != "cpu")
-                              and d_k < 128)
+                              and d_k < 128 and is_self)
             else:
                 use_pallas = self.use_pallas_attention
             if use_pallas:

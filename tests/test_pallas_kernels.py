@@ -282,8 +282,18 @@ def test_attention_route_auto_is_shape_gated():
         return "pallas" in str(
             jax.make_jaxpr(lambda v: m.apply(v, x, x, x))(p))
 
-    assert uses_pallas(256, 4, None)        # auto, d_k=64 -> pallas
+    assert uses_pallas(256, 4, None)        # auto, d_k=64 self -> pallas
     assert not uses_pallas(32, 8, None)     # auto, d_k=4 on CPU -> XLA
     assert not uses_pallas(512, 4, None)    # auto, d_k=128 -> XLA retakes
     assert uses_pallas(32, 8, True)         # forced on
     assert not uses_pallas(256, 4, False)   # forced off
+
+    # cross-attention (distinct q/k arrays) stays on XLA under auto —
+    # measured loser for the kernel (results_r4/softmax_ab.log dec-cross)
+    m = MultiHeadAttention(d_model=256, d_k=64, d_v=64, n_heads=4,
+                           attn_type="basic", use_pallas_attention=None)
+    q = jnp.ones((2, 8, 256))
+    kv = jnp.ones((2, 16, 256))
+    p_ = m.init(jax.random.PRNGKey(0), q, kv, kv)
+    assert "pallas" not in str(
+        jax.make_jaxpr(lambda v: m.apply(v, q, kv, kv))(p_))
