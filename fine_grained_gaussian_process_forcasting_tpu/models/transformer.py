@@ -182,14 +182,18 @@ class MultiHeadAttention(nn.Module):
             # force either path.
             # At d_k >= 128 XLA retakes the lead (d1024/d_k=128: XLA
             # 56.15 ms vs pallas 57.34, results_r5/perf_d1024.log), so
-            # auto caps the pallas route below it; cross-attention also
-            # stays on XLA (prod dec-cross: XLA 0.912 ms vs pallas
-            # 1.133, results_r4/softmax_ab.log — rectangular q/k panels
-            # lose the kernel's VMEM-residency advantage).
+            # auto caps the pallas route below it.  Cross-attention is
+            # variant-dependent: the flash kernel loses it (prod
+            # dec-cross XLA 0.912 ms vs pallas 1.133, softmax_ab.log;
+            # self-only gating wins the d512 step 52.85 -> 49.69 ms,
+            # perf_selfgate.log) but the head-folded kernel keeps it
+            # (flagship all-pallas 19.27 ms vs self-only 19.81,
+            # perf_flagship_route.log).
             if self.use_pallas_attention is None:
-                use_pallas = ((d_k >= 64
-                               or jax.default_backend() != "cpu")
-                              and d_k < 128 and is_self)
+                use_pallas = (d_k < 128
+                              and (is_self or d_k < 64)
+                              and (d_k >= 64
+                                   or jax.default_backend() != "cpu"))
             else:
                 use_pallas = self.use_pallas_attention
             if use_pallas:
