@@ -726,7 +726,7 @@ def main():
         "prod_d512_basic_bf16_ms": round(prod_basic["ms"], 2),
         "prod_d512_basic_bf16_pct_of_bf16_peak": round(
             prod_basic["pct_of_bf16_peak"], 2),
-        "prod_d512_basic_attention_route": "pallas-fused (auto, d_k=64)",
+        "prod_d512_basic_attention_route": "auto: flash-pallas self-attn, XLA cross (d_k=64)",
     }
     with open(LAST_GOOD, "w") as f:
         json.dump(result, f)
