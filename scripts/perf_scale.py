@@ -148,7 +148,13 @@ if __name__ == "__main__":
                    default=True)
     args = p.parse_args()
 
+    # NOTE (round 5): the model's use_pallas_attention default is now
+    # None = auto (shape-gated route), so the unflagged cases measure
+    # the SHIPPED route; the *_forced_* cases pin either endpoint.
     cases = {
+        "xla_forced_bf16": dict(use_pallas_attention=False,
+                                compute_dtype=jnp.bfloat16,
+                                gp_compute_dtype=jnp.bfloat16),
         "xla_fp32": dict(),
         "pallas_attn_fp32": dict(use_pallas_attention=True),
         "xla_bf16": dict(compute_dtype=jnp.bfloat16,
