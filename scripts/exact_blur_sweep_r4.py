@@ -14,8 +14,11 @@ handicaps, both baked into the reference-parity raw-zeros init:
   K is ~diagonal.
 
 One sweep over {noise_init x ls_init} at the field full-data protocol
-(pred 96, autoformer backbone, 50 epochs, 3 vmapped seeds, d32/stack1 —
-identical to the results_r3 exact-blur row for comparability).
+(pred 96, autoformer backbone, 50 epochs, 3 vmapped seeds, d32/stack1).
+NOTE (round-5 harvest): the results_r3 exact-blur row (0.225) was
+measured on the ATA backbone, so this sweep's own 'ref' arm is the
+same-code anchor here; the autoformer variational comparator is the
+r3 dataset-grid solar D-GP row (0.188).  See RESULTS.md round 5.
 
 Usage: python scripts/exact_blur_sweep_r4.py [--arms ...] [--out_dir ...]
 """
